@@ -1,0 +1,11 @@
+from .build import build_index, segment_complete  # noqa: F401
+from .codec import (  # noqa: F401
+    BLOCK_SIZE,
+    decode_postings,
+    decode_varints,
+    delta_decode,
+    delta_encode,
+    encode_postings,
+    encode_varints,
+)
+from .segment import SegmentReader, load_segments  # noqa: F401

@@ -1,0 +1,173 @@
+"""Immutable segment reader: postings / norms / stats access with lazy loading and
+per-field term-dictionary caching.
+
+A segment is a contiguous doc-id range built by ``build.py``::
+
+    seg-00000/
+      postings.parquet/   # rows (field, term, bucket, df, total_tf, blocks), sorted
+      norms.parquet/      # rows (doc_id, dl_<field>...)
+      stats.json          # doc_base, doc_count, per-field total_dl
+      MANIFEST.json       # lineage + completion marker (checkpoint/resume unit)
+
+Readers hold numpy norms arrays indexed by ``doc_id - doc_base`` (loaded once —
+designed to be pinned inside long-lived scorer actors) and fetch postings by
+``(field, term)`` through parquet predicate pushdown, so a term lookup touches only
+the row groups whose min/max term stats overlap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from .codec import decode_postings
+
+
+class SegmentReader:
+    def __init__(self, seg_dir: str):
+        self.seg_dir = seg_dir
+        with open(os.path.join(seg_dir, "MANIFEST.json")) as f:
+            self.manifest = json.load(f)
+        if self.manifest.get("status") != "complete":
+            raise ValueError(f"segment {seg_dir} is incomplete")
+        self.empty = bool(self.manifest.get("empty"))
+        if self.empty:
+            self.stats = {"doc_base": 0, "doc_count": 0, "fields": {}}
+        else:
+            with open(os.path.join(seg_dir, "stats.json")) as f:
+                self.stats = json.load(f)
+        self.doc_base = int(self.stats["doc_base"])
+        self.doc_count = int(self.stats["doc_count"])
+        self._norms: Optional[Dict[str, np.ndarray]] = None
+        self._term_dicts: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        self._postings_ds = None
+
+    # ---- stats ----
+
+    def total_dl(self, field: str) -> int:
+        return int(self.stats["fields"].get(field, {}).get("total_dl", 0))
+
+    # ---- norms ----
+
+    def norms(self, field: str) -> np.ndarray:
+        """Per-doc token count for ``field``, indexed by ``doc_id - doc_base``."""
+        if self._norms is None:
+            self._load_norms()
+        return self._norms[field]
+
+    def _load_norms(self) -> None:
+        self._norms = {}
+        if self.empty:
+            return
+        t = pq.read_table(os.path.join(self.seg_dir, "norms.parquet"))
+        order = pc.sort_indices(t["doc_id"])
+        t = t.take(order)
+        doc_ids = t["doc_id"].to_numpy()
+        expected = np.arange(self.doc_base, self.doc_base + self.doc_count)
+        if doc_ids.size != expected.size or not (doc_ids == expected).all():
+            raise ValueError(f"norms of {self.seg_dir} are not doc-contiguous")
+        for name in t.schema.names:
+            if name.startswith("dl_"):
+                self._norms[name[3:]] = t[name].to_numpy().astype(np.int64)
+
+    # ---- term dictionary ----
+
+    def term_dict(self, field: str) -> Tuple[np.ndarray, np.ndarray]:
+        """(terms sorted unique, df per term) for one field (buckets aggregated)."""
+        if field not in self._term_dicts:
+            if self.empty:
+                self._term_dicts[field] = (
+                    np.empty(0, dtype=object),
+                    np.empty(0, dtype=np.int64),
+                )
+            else:
+                t = pq.read_table(
+                    os.path.join(self.seg_dir, "postings.parquet"),
+                    columns=["field", "term", "df"],
+                    filters=[("field", "==", field)],
+                )
+                g = t.group_by("term").aggregate([("df", "sum")])
+                order = pc.sort_indices(g["term"])
+                g = g.take(order)
+                self._term_dicts[field] = (
+                    np.asarray(g["term"].to_pylist(), dtype=object),
+                    g["df_sum"].to_numpy().astype(np.int64),
+                )
+        return self._term_dicts[field]
+
+    def dfs(self, field: str, terms: Sequence[str]) -> Dict[str, int]:
+        """df for specific terms (term-dict binary search; 0 when absent)."""
+        dict_terms, dict_dfs = self.term_dict(field)
+        out = {}
+        for term in terms:
+            i = np.searchsorted(dict_terms, term)
+            if i < dict_terms.size and dict_terms[i] == term:
+                out[term] = int(dict_dfs[i])
+            else:
+                out[term] = 0
+        return out
+
+    # ---- postings ----
+
+    def postings_many(
+        self, field: str, terms: Sequence[str], want_positions: bool = False
+    ) -> Dict[str, Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]]:
+        """Decode postings for many terms in one predicate-pushdown read."""
+        if self.empty or not terms:
+            return {}
+        t = pq.read_table(
+            os.path.join(self.seg_dir, "postings.parquet"),
+            filters=[("field", "==", field), ("term", "in", list(set(terms)))],
+        )
+        if t.num_rows == 0:
+            return {}
+        # group bucket rows per term, in bucket order (doc-sorted by construction)
+        order = pc.sort_indices(
+            t, sort_keys=[("term", "ascending"), ("bucket", "ascending")]
+        )
+        t = t.take(order)
+        out: Dict[str, Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]] = {}
+        terms_np = t["term"].to_pylist()
+        blocks_col = t["blocks"].to_pylist()
+        i = 0
+        while i < len(terms_np):
+            j = i
+            blocks: List[dict] = []
+            while j < len(terms_np) and terms_np[j] == terms_np[i]:
+                blocks.extend(blocks_col[j])
+                j += 1
+            out[terms_np[i]] = decode_postings(blocks, want_positions)
+            i = j
+        return out
+
+    def postings(
+        self, field: str, term: str, want_positions: bool = False
+    ) -> Optional[Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]]:
+        return self.postings_many(field, [term], want_positions).get(term)
+
+    # ---- doc metadata (conv_id, turn_idx) for result rows ----
+
+    def doc_meta(self, doc_ids: np.ndarray) -> pa.Table:
+        src = self.manifest["input_path"]
+        ds = pads.dataset(src)
+        cols = ["doc_id", "conv_id", "turn_idx"]
+        return ds.to_table(
+            columns=cols, filter=pads.field("doc_id").isin(pa.array(doc_ids))
+        )
+
+
+def load_segments(index_dir: str) -> List[SegmentReader]:
+    seg_root = os.path.join(index_dir, "segments")
+    readers = []
+    for name in sorted(os.listdir(seg_root)):
+        seg_dir = os.path.join(seg_root, name)
+        if os.path.isdir(seg_dir):
+            readers.append(SegmentReader(seg_dir))
+    return readers

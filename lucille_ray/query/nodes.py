@@ -36,6 +36,11 @@ class Query:
     def _key(self) -> tuple:
         return tuple(getattr(self, s) for s in self.__slots__)
 
+    def __reduce__(self):
+        # slot order matches constructor args for every node; keeps pickling
+        # compatible with the immutability guard (ASTs are broadcast to Ray tasks)
+        return (type(self), self._key())
+
     def __eq__(self, other) -> bool:
         return type(self) is type(other) and self._key() == other._key()
 
@@ -353,6 +358,9 @@ class WildCardOp:
 class _SingleChar(WildCardOp):
     __slots__ = ()
 
+    def __reduce__(self):
+        return (_SingleChar, ())
+
     def __repr__(self):
         return "SingleChar"
 
@@ -365,6 +373,9 @@ class _SingleChar(WildCardOp):
 
 class _ManyChar(WildCardOp):
     __slots__ = ()
+
+    def __reduce__(self):
+        return (_ManyChar, ())
 
     def __repr__(self):
         return "ManyChar"
@@ -388,6 +399,9 @@ class Str(WildCardOp):
 
     def __setattr__(self, *_):
         raise AttributeError("immutable")
+
+    def __reduce__(self):
+        return (Str, (self.value,))
 
     def __repr__(self):
         return f"Str({self.value!r})"

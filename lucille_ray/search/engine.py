@@ -1,0 +1,298 @@
+"""Top-k search over a built index: global-stats coordination + per-segment scoring
+with actor-pool parallelism.
+
+Execution model (north_star): segment shards are *pinned* — each scorer actor loads
+its segments' norms/stats once in ``__init__`` and keeps posting reads warm across
+queries, which is why this is one of the few places the engine drops below the
+Dataset API to raw Ray actors (a ``map_batches`` actor pool is rebuilt per Dataset
+execution, exactly what a query path must avoid; see SURVEY.md §2.E).
+
+Per query:
+  1. driver parses/compiles the AST and collects term requests (tiny, broadcast);
+  2. each scorer resolves dictionary expansions + local dfs on its segments;
+  3. driver merges to *global* df / N / avgdl (BM25 is then rank-identical to a
+     single-node build — the cross-segment idf contract);
+  4. each scorer evaluates vectorized posting algebra -> local top-k;
+  5. driver merges k*segments rows -> global top-k (score desc, doc_id asc).
+
+For bulk query workloads, :meth:`SearchEngine.search_many` amortizes steps 2/4 over
+a whole query batch per round-trip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import pyarrow as pa
+
+from ..analysis import DEFAULT_FIELD
+from ..index.build import INDEX_META_FILE
+from ..index.segment import SegmentReader, load_segments
+from ..query import nodes as qn
+from ..query.parser import parse
+from .eval import (
+    EvalContext,
+    ExpansionSpec,
+    MAX_EXPANSIONS,
+    SegmentEval,
+    TermRequests,
+    collect_term_requests,
+    top_k,
+)
+
+QueryLike = Union[str, qn.Query]
+
+
+class SegmentScorer:
+    """Scores queries over a group of pinned segments (usable in-process or as a
+    Ray actor via ``ray.remote(SegmentScorer)``)."""
+
+    def __init__(self, seg_dirs: Sequence[str]):
+        self.readers = [SegmentReader(d) for d in seg_dirs]
+
+    def local_stats(self) -> dict:
+        out = {"n_docs": 0, "total_dl": {}}
+        for r in self.readers:
+            out["n_docs"] += r.doc_count
+            for f, st in r.stats.get("fields", {}).items():
+                out["total_dl"][f] = out["total_dl"].get(f, 0) + st["total_dl"]
+        return out
+
+    def resolve(
+        self, reqs: TermRequests
+    ) -> Tuple[Dict[ExpansionSpec, Tuple[str, ...]], Dict[Tuple[str, str], int]]:
+        """Expand dictionary specs and collect local dfs for all needed terms."""
+        expanded: Dict[ExpansionSpec, set] = {s: set() for s in reqs.expansions}
+        for spec in reqs.expansions:
+            match = spec.matcher()
+            for r in self.readers:
+                terms, _ = r.term_dict(spec.field)
+                if terms.size == 0:
+                    continue
+                m = match(terms)
+                hits = terms[m]
+                if hits.size > MAX_EXPANSIONS:
+                    raise ValueError(
+                        f"{spec.kind} expansion exceeds {MAX_EXPANSIONS} terms"
+                    )
+                expanded[spec].update(hits.tolist())
+        needed: Dict[str, set] = {}
+        for f, t in reqs.exact:
+            needed.setdefault(f, set()).add(t)
+        for spec, terms in expanded.items():
+            needed.setdefault(spec.field, set()).update(terms)
+        dfs: Dict[Tuple[str, str], int] = {}
+        for f, terms in needed.items():
+            for r in self.readers:
+                for t, df in r.dfs(f, sorted(terms)).items():
+                    dfs[(f, t)] = dfs.get((f, t), 0) + df
+        return {s: tuple(sorted(v)) for s, v in expanded.items()}, dfs
+
+    def score(
+        self, query: qn.Query, reqs: TermRequests, ctx: EvalContext, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Evaluate + local top-k across this scorer's segments."""
+        all_docs, all_scores = [], []
+        for r in self.readers:
+            if r.doc_count == 0:
+                continue
+            ev = SegmentEval(r, ctx, reqs)
+            docs, scores = ev.eval(query)
+            if docs.size:
+                d, s = top_k(docs, scores, k)
+                all_docs.append(d)
+                all_scores.append(s)
+        if not all_docs:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return top_k(np.concatenate(all_docs), np.concatenate(all_scores), k)
+
+    def score_many(self, items: List[tuple]) -> List[tuple]:
+        """[(query, reqs, ctx, k)] -> [(docs, scores)] — one round-trip per batch."""
+        return [self.score(*item) for item in items]
+
+    def doc_meta(self, doc_ids: np.ndarray) -> pa.Table:
+        tables = []
+        for r in self.readers:
+            lo, hi = r.doc_base, r.doc_base + r.doc_count
+            mine = doc_ids[(doc_ids >= lo) & (doc_ids < hi)]
+            if mine.size:
+                tables.append(r.doc_meta(mine))
+        if not tables:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "conv_id": pa.array([], pa.string()),
+                    "turn_idx": pa.array([], pa.int32()),
+                }
+            )
+        return pa.concat_tables(tables)
+
+
+class SearchEngine:
+    """Query entry point over an index directory.
+
+    ``parallel="auto"`` uses one Ray actor per segment group when Ray is
+    initialized; ``parallel=False`` scores in-process (tests / tiny indexes).
+    """
+
+    def __init__(
+        self,
+        index_dir: str,
+        *,
+        parallel: Union[bool, str] = "auto",
+        actors: Optional[int] = None,
+    ):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, INDEX_META_FILE)) as f:
+            self.meta = json.load(f)
+        seg_root = os.path.join(index_dir, "segments")
+        self.seg_dirs = [
+            os.path.join(seg_root, n)
+            for n in sorted(os.listdir(seg_root))
+            if os.path.isdir(os.path.join(seg_root, n))
+        ]
+        if parallel == "auto":
+            try:
+                import ray
+
+                parallel = ray.is_initialized() and len(self.seg_dirs) > 1
+            except ImportError:
+                parallel = False
+        self.parallel = bool(parallel)
+        self._actors = None
+        self._local: Optional[SegmentScorer] = None
+        self._num_actors = actors
+        self._stats_cache = None
+
+    # ---- scorer management ----
+
+    def _scorers(self):
+        if not self.parallel:
+            if self._local is None:
+                self._local = SegmentScorer(self.seg_dirs)
+            return [self._local]
+        if self._actors is None:
+            import ray
+
+            n = self._num_actors or min(len(self.seg_dirs), 8)
+            groups: List[List[str]] = [[] for _ in range(n)]
+            for i, d in enumerate(self.seg_dirs):
+                groups[i % n].append(d)
+            Actor = ray.remote(SegmentScorer)
+            self._actors = [
+                Actor.options(num_cpus=1).remote(g) for g in groups if g
+            ]
+        return self._actors
+
+    def _call(self, method: str, per_scorer_args) -> list:
+        scorers = self._scorers()
+        if not self.parallel:
+            return [getattr(scorers[0], method)(*per_scorer_args[0])]
+        import ray
+
+        return ray.get(
+            [getattr(a, method).remote(*args) for a, args in zip(scorers, per_scorer_args)]
+        )
+
+    # ---- stats ----
+
+    def _global_stats(self) -> dict:
+        if self._stats_cache is None:
+            results = self._call(
+                "local_stats", [() for _ in self._scorers()]
+            )
+            n = sum(r["n_docs"] for r in results)
+            total_dl: Dict[str, int] = {}
+            for r in results:
+                for f, v in r["total_dl"].items():
+                    total_dl[f] = total_dl.get(f, 0) + v
+            self._stats_cache = {
+                "n_docs": n,
+                "avgdl": {f: (v / n if n else 0.0) for f, v in total_dl.items()},
+            }
+        return self._stats_cache
+
+    # ---- public API ----
+
+    def plan(self, query: QueryLike) -> Tuple[qn.Query, TermRequests, EvalContext]:
+        q = parse(query) if isinstance(query, str) else query
+        reqs = collect_term_requests(q)
+        resolved_list = self._call("resolve", [(reqs,) for _ in self._scorers()])
+        expanded: Dict[ExpansionSpec, set] = {}
+        df: Dict[Tuple[str, str], int] = {}
+        for exp, dfs in resolved_list:
+            for spec, terms in exp.items():
+                expanded.setdefault(spec, set()).update(terms)
+            for key, v in dfs.items():
+                df[key] = df.get(key, 0) + v
+        stats = self._global_stats()
+        ctx = EvalContext(
+            n_docs=stats["n_docs"],
+            avgdl=stats["avgdl"],
+            df=df,
+            expanded={s: tuple(sorted(v)) for s, v in expanded.items()},
+        )
+        return q, reqs, ctx
+
+    def search(
+        self, query: QueryLike, k: int = 10, *, with_meta: bool = True
+    ) -> pa.Table:
+        """Top-k as an Arrow table (doc_id, conv_id, turn_idx, score)."""
+        q, reqs, ctx = self.plan(query)
+        results = self._call(
+            "score", [(q, reqs, ctx, k) for _ in self._scorers()]
+        )
+        docs = np.concatenate([r[0] for r in results])
+        scores = np.concatenate([r[1] for r in results])
+        docs, scores = top_k(docs, scores, k)
+        return self._to_table(docs, scores, with_meta)
+
+    def search_many(
+        self, queries: Sequence[QueryLike], k: int = 10
+    ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Batch scoring: one resolve+score round-trip per scorer for all queries."""
+        plans = [self.plan(query) for query in queries]
+        items = [[(q, reqs, ctx, k) for (q, reqs, ctx) in plans] for _ in self._scorers()]
+        results = self._call("score_many", [(batch,) for batch in items])
+        out = []
+        for qi in range(len(plans)):
+            docs = np.concatenate([r[qi][0] for r in results])
+            scores = np.concatenate([r[qi][1] for r in results])
+            out.append(top_k(docs, scores, k))
+        return out
+
+    def _to_table(self, docs: np.ndarray, scores: np.ndarray, with_meta: bool):
+        base = pa.table(
+            {"doc_id": pa.array(docs, pa.int64()), "score": pa.array(scores)}
+        )
+        if not with_meta:
+            return base
+        if docs.size == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "conv_id": pa.array([], pa.string()),
+                    "turn_idx": pa.array([], pa.int32()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        metas = self._call("doc_meta", [(docs,) for _ in self._scorers()])
+        meta = pa.concat_tables(metas)
+        joined = base.join(meta, keys="doc_id", join_type="left outer")
+        order = pa.compute.sort_indices(
+            joined,
+            sort_keys=[("score", "descending"), ("doc_id", "ascending")],
+        )
+        joined = joined.take(order)
+        return joined.select(["doc_id", "conv_id", "turn_idx", "score"])
+
+    def shutdown(self) -> None:
+        if self._actors:
+            import ray
+
+            for a in self._actors:
+                ray.kill(a)
+            self._actors = None

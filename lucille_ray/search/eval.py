@@ -1,0 +1,456 @@
+"""Query evaluation: compile the parsed AST into vectorized posting-list algebra
+with exact BM25 scoring over one segment.
+
+Semantics follow Lucene's documented behavior for each node (SURVEY.md §2.A):
+
+* ``And`` -> all children MUST match; score = sum of matching clause scores.
+* ``Or`` -> children are SHOULD; match if >= 1 matches; score = sum of matching.
+* ``UnaryPlus`` child -> MUST even inside an Or; ``UnaryMinus``/``Not`` -> MUST_NOT
+  (excluded, never scored); a query with only MUST_NOT clauses matches nothing.
+* ``MinimumMatch`` -> count-based disjunction (>= num clauses).
+* ``Boost`` scales the clause score; ``Field`` re-routes the subtree's terms.
+* ``Phrase`` -> exact adjacent positions; score = (sum of constituent term idfs) *
+  bm25_tf(phrase_freq). ``Proximity`` -> ordered with each consecutive gap <= num
+  (documented deviation: Lucene's sloppy phrase allows reordering; this engine and
+  all its oracles use the ordered per-gap rule).
+* ``Prefix``/``WildCard``/``TermRegex``/``Fuzzy``/``TermRange`` -> expand against
+  the term dictionary (bounded by MAX_EXPANSIONS, like Lucene's maxClauseCount)
+  and score as a sum of per-term BM25 (boolean rewrite; Lucene's default
+  constant-score rewrite is intentionally not used so scores stay comparable
+  across oracles).
+
+BM25: k1=1.2, b=0.75, idf = ln(1 + (N - df + 0.5)/(df + 0.5)) with *global*
+(cross-segment) N / avgdl / df, so per-segment scoring is rank-identical to a
+single-index build. All math in float64, fixed clause order -> deterministic.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field as dc_field
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from ..analysis import DEFAULT_FIELD, tokenize
+from ..query import nodes as qn
+
+K1 = 1.2
+B = 0.75
+MAX_EXPANSIONS = 1024
+
+EMPTY = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+
+
+# ---------------------------------------------------------------------------
+# Term-request collection (driver-side planning)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ExpansionSpec:
+    """A dictionary-expansion request: resolved against every segment's term dict,
+    then unioned globally so idf/df are consistent across segments."""
+
+    field: str
+    kind: str  # prefix | wildcard | regex | fuzzy | range
+    args: tuple
+
+    def matcher(self):
+        if self.kind == "prefix":
+            prefix = self.args[0]
+            return lambda terms: np.char.startswith(terms.astype(str), prefix)
+        if self.kind in ("wildcard", "regex"):
+            pat = re.compile(self.args[0])
+            return lambda terms: np.fromiter(
+                (pat.fullmatch(t) is not None for t in terms), bool, len(terms)
+            )
+        if self.kind == "fuzzy":
+            base, max_edits = self.args
+            return lambda terms: np.fromiter(
+                (levenshtein_within(base, t, max_edits) for t in terms),
+                bool,
+                len(terms),
+            )
+        if self.kind == "range":
+            lower, upper, li, ui = self.args
+
+            def match(terms):
+                t = terms.astype(str)
+                m = np.ones(len(t), dtype=bool)
+                if lower is not None:
+                    m &= (t >= lower) if li else (t > lower)
+                if upper is not None:
+                    m &= (t <= upper) if ui else (t < upper)
+                return m
+
+            return match
+        raise ValueError(self.kind)
+
+
+def levenshtein_within(a: str, b: str, k: int) -> bool:
+    """Banded edit distance <= k (early-exit DP)."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        best = cur[0]
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            best = min(best, cur[j])
+        if best > k:
+            return False
+        prev = cur
+    return prev[-1] <= k
+
+
+def wildcard_to_regex(ops: Sequence[qn.WildCardOp]) -> str:
+    parts = []
+    for op in ops:
+        if op is qn.SingleChar or isinstance(op, qn._SingleChar):
+            parts.append(".")
+        elif op is qn.ManyChar or isinstance(op, qn._ManyChar):
+            parts.append(".*")
+        else:
+            parts.append(re.escape(op.value))
+    return "".join(parts)
+
+
+@dataclass
+class TermRequests:
+    exact: Set[Tuple[str, str]] = dc_field(default_factory=set)
+    positional: Set[Tuple[str, str]] = dc_field(default_factory=set)
+    expansions: Set[ExpansionSpec] = dc_field(default_factory=set)
+
+
+def collect_term_requests(
+    q: qn.Query, field: str = DEFAULT_FIELD, reqs: Optional[TermRequests] = None
+) -> TermRequests:
+    reqs = reqs if reqs is not None else TermRequests()
+    if isinstance(q, qn.Term):
+        for t in tokenize(q.value):  # analyzer may split e.g. 'first.last'
+            reqs.exact.add((field, t))
+    elif isinstance(q, (qn.Phrase, qn.Proximity)):
+        for t in tokenize(q.value):
+            reqs.exact.add((field, t))
+            reqs.positional.add((field, t))
+    elif isinstance(q, qn.Prefix):
+        reqs.expansions.add(ExpansionSpec(field, "prefix", (q.value.lower(),)))
+    elif isinstance(q, qn.WildCard):
+        reqs.expansions.add(
+            ExpansionSpec(field, "wildcard", (wildcard_to_regex(q.ops).lower(),))
+        )
+    elif isinstance(q, qn.TermRegex):
+        reqs.expansions.add(ExpansionSpec(field, "regex", (q.value,)))
+    elif isinstance(q, qn.Fuzzy):
+        edits = 2 if q.num is None else q.num
+        reqs.expansions.add(ExpansionSpec(field, "fuzzy", (q.value.lower(), edits)))
+    elif isinstance(q, qn.TermRange):
+        reqs.expansions.add(
+            ExpansionSpec(field, "range", (q.lower, q.upper, q.lower_inc, q.upper_inc))
+        )
+    elif isinstance(q, qn.Field):
+        collect_term_requests(q.q, q.field, reqs)
+    elif isinstance(q, (qn.Not, qn.Group, qn.UnaryPlus, qn.UnaryMinus)):
+        collect_term_requests(q.q, field, reqs)
+    elif isinstance(q, qn.Boost):
+        collect_term_requests(q.q, field, reqs)
+    elif isinstance(q, (qn.Or, qn.And, qn.MinimumMatch)):
+        for c in q.qs:
+            collect_term_requests(c, field, reqs)
+    else:
+        raise TypeError(f"unknown query node {q!r}")
+    return reqs
+
+
+# ---------------------------------------------------------------------------
+# Global context + per-segment evaluation
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class EvalContext:
+    """Cross-segment-global stats; identical on every scorer -> identical scores."""
+
+    n_docs: int
+    avgdl: Dict[str, float]
+    df: Dict[Tuple[str, str], int]
+    expanded: Dict[ExpansionSpec, Tuple[str, ...]]
+
+    def idf(self, field: str, term: str) -> float:
+        df = self.df.get((field, term), 0)
+        if df <= 0:
+            return 0.0
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+
+class SegmentEval:
+    """Evaluates one AST against one segment with prefetched postings."""
+
+    def __init__(self, reader, ctx: EvalContext, reqs: TermRequests):
+        self.reader = reader
+        self.ctx = ctx
+        self._cache: Dict[Tuple[str, str], tuple] = {}
+        self._prefetch(reqs)
+
+    def _prefetch(self, reqs: TermRequests) -> None:
+        by_field: Dict[str, Set[str]] = {}
+        pos_fields: Dict[str, Set[str]] = {}
+        for f, t in reqs.exact:
+            by_field.setdefault(f, set()).add(t)
+        for f, t in reqs.positional:
+            pos_fields.setdefault(f, set()).add(t)
+        for spec, terms in self.ctx.expanded.items():
+            by_field.setdefault(spec.field, set()).update(terms)
+        for f, terms in by_field.items():
+            want_pos = pos_fields.get(f, set())
+            plain = [t for t in terms if t not in want_pos]
+            if plain:
+                got = self.reader.postings_many(f, plain, want_positions=False)
+                for t in plain:
+                    self._cache[(f, t)] = got.get(t, (EMPTY[0], EMPTY[0], None))
+            if want_pos:
+                got = self.reader.postings_many(
+                    f, list(want_pos), want_positions=True
+                )
+                for t in want_pos:
+                    self._cache[(f, t)] = got.get(t, (EMPTY[0], EMPTY[0], None))
+
+    # ---- scoring primitives ----
+
+    def _bm25(
+        self, field: str, docs: np.ndarray, tfs: np.ndarray, idf: float
+    ) -> np.ndarray:
+        if docs.size == 0:
+            return np.empty(0, dtype=np.float64)
+        dl = self.reader.norms(field)[docs - self.reader.doc_base].astype(np.float64)
+        avgdl = self.ctx.avgdl.get(field) or 1.0
+        tf = tfs.astype(np.float64)
+        denom = tf + K1 * (1.0 - B + B * dl / avgdl)
+        return idf * tf * (K1 + 1.0) / denom
+
+    def _term(self, field: str, term: str) -> Tuple[np.ndarray, np.ndarray]:
+        post = self._cache.get((field, term))
+        if post is None:
+            post = self.reader.postings(field, term) or (EMPTY[0], EMPTY[0], None)
+            self._cache[(field, term)] = post
+        docs, tfs, _ = post
+        if docs.size == 0:
+            return EMPTY
+        return docs, self._bm25(field, docs, tfs, self.ctx.idf(field, term))
+
+    def _multi_term(
+        self, field: str, terms: Sequence[str]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        results = [self._term(field, t) for t in terms]
+        results = [r for r in results if r[0].size]
+        if not results:
+            return EMPTY
+        docs, scores, _ = _union(results)
+        return docs, scores
+
+    # ---- positional ----
+
+    def _positions_of(self, field: str, term: str, doc: int) -> Optional[np.ndarray]:
+        docs, tfs, pos = self._cache.get((field, term), (EMPTY[0], EMPTY[0], None))
+        if pos is None or docs.size == 0:
+            return None
+        i = int(np.searchsorted(docs, doc))
+        if i >= docs.size or docs[i] != doc:
+            return None
+        offs = np.zeros(docs.size + 1, dtype=np.int64)
+        np.cumsum(tfs, out=offs[1:])
+        return pos[offs[i]: offs[i + 1]]
+
+    def _phrase(
+        self, field: str, text: str, gap: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        terms = tokenize(text)
+        if not terms:
+            return EMPTY
+        if len(terms) == 1:
+            return self._term(field, terms[0])
+        posts = [self._cache.get((field, t)) for t in terms]
+        if any(p is None or p[0].size == 0 or p[2] is None for p in posts):
+            return EMPTY
+        cand = posts[0][0]
+        for p in posts[1:]:
+            cand = np.intersect1d(cand, p[0], assume_unique=True)
+            if cand.size == 0:
+                return EMPTY
+        freqs = np.zeros(cand.size, dtype=np.int64)
+        for ci, doc in enumerate(cand):
+            # backward reachability DP: B = positions of term_i that can complete a
+            # chain to the last term with every consecutive gap <= `gap`; the freq
+            # is the number of START positions with a feasible chain (greedy-next
+            # is NOT existence-optimal under a per-gap bound, so keep full sets)
+            plists = [self._positions_of(field, t, int(doc)) for t in terms]
+            if any(p is None or p.size == 0 for p in plists):
+                continue
+            B = plists[-1]
+            for i in range(len(plists) - 2, -1, -1):
+                P = plists[i]
+                idx = np.searchsorted(B, P, side="right")
+                ok = idx < B.size
+                ok[ok] &= (B[idx[ok]] - P[ok] - 1) <= gap
+                B = P[ok]
+                if B.size == 0:
+                    break
+            freqs[ci] = B.size if B.size else 0
+        hit = freqs > 0
+        if not hit.any():
+            return EMPTY
+        docs = cand[hit]
+        idf_sum = sum(self.ctx.idf(field, t) for t in terms)
+        scores = self._bm25(field, docs, freqs[hit], idf_sum)
+        return docs, scores
+
+    # ---- boolean algebra ----
+
+    def eval(self, q: qn.Query, field: str = DEFAULT_FIELD):
+        """Returns (sorted doc_ids, scores); pure-negative nodes return empty."""
+        if isinstance(q, qn.Term):
+            terms = tokenize(q.value)
+            if not terms:
+                return EMPTY
+            if len(terms) == 1:
+                return self._term(field, terms[0])
+            # analyzer split a punctuated term -> behave like a phrase (Lucene-style)
+            return self._phrase(field, q.value, 0)
+        if isinstance(q, qn.Phrase):
+            return self._phrase(field, q.value, 0)
+        if isinstance(q, qn.Proximity):
+            return self._phrase(field, q.value, max(0, q.num))
+        if isinstance(q, (qn.Prefix, qn.WildCard, qn.TermRegex, qn.Fuzzy, qn.TermRange)):
+            spec = _spec_for(q, field)
+            terms = self.ctx.expanded.get(spec, ())
+            return self._multi_term(field, terms)
+        if isinstance(q, qn.Field):
+            return self.eval(q.q, q.field)
+        if isinstance(q, qn.Group):
+            return self.eval(q.q, field)
+        if isinstance(q, qn.Boost):
+            docs, scores = self.eval(q.q, field)
+            return docs, scores * float(q.weight)
+        if isinstance(q, qn.UnaryPlus):
+            return self.eval(q.q, field)
+        if isinstance(q, (qn.Not, qn.UnaryMinus)):
+            return EMPTY  # pure-negative matches nothing on its own
+        if isinstance(q, qn.And):
+            return self._bool(q.qs, field, conjunctive=True)
+        if isinstance(q, qn.Or):
+            return self._bool(q.qs, field, conjunctive=False)
+        if isinstance(q, qn.MinimumMatch):
+            return self._minimum_match(q, field)
+        raise TypeError(f"unknown query node {q!r}")
+
+    def _split_clauses(self, qs, field):
+        must, should, must_not = [], [], []
+        for c in qs:
+            if isinstance(c, (qn.Not, qn.UnaryMinus)):
+                must_not.append(self.eval(c.q, field))
+            elif isinstance(c, qn.UnaryPlus):
+                must.append(self.eval(c.q, field))
+            else:
+                should.append((c, None))
+        return must, should, must_not
+
+    def _bool(self, qs, field, conjunctive: bool):
+        must, should_nodes, must_not = self._split_clauses(qs, field)
+        should = [self.eval(c, field) for c, _ in should_nodes]
+        if conjunctive:
+            must = must + should
+            should = []
+        if not must and not should:
+            return EMPTY  # pure negative
+        if must:
+            docs = must[0][0]
+            for m in must[1:]:
+                docs = np.intersect1d(docs, m[0], assume_unique=True)
+                if docs.size == 0:
+                    return EMPTY
+            scores = np.zeros(docs.size, dtype=np.float64)
+            for m_docs, m_scores in must:
+                scores += m_scores[_positions_in(m_docs, docs)]
+            for s_docs, s_scores in should:
+                if s_docs.size == 0:
+                    continue
+                idx = np.searchsorted(s_docs, docs)
+                idx_c = np.clip(idx, 0, s_docs.size - 1)
+                hit = s_docs[idx_c] == docs
+                scores[hit] += s_scores[idx_c[hit]]
+        else:
+            live = [s for s in should if s[0].size]
+            if not live:
+                return EMPTY
+            docs, scores, _ = _union(live)
+        return self._apply_must_not(docs, scores, must_not)
+
+    def _minimum_match(self, q: qn.MinimumMatch, field: str):
+        must_not = []
+        results = []
+        for c in q.qs:
+            if isinstance(c, (qn.Not, qn.UnaryMinus)):
+                must_not.append(self.eval(c.q, field))
+            else:
+                results.append(self.eval(c, field))
+        live = [r for r in results if r[0].size]
+        if not live or q.num > len(results):
+            return EMPTY
+        docs, scores, counts = _union(live)
+        keep = counts >= max(q.num, 1)
+        return self._apply_must_not(docs[keep], scores[keep], must_not)
+
+    def _apply_must_not(self, docs, scores, must_not):
+        if docs.size == 0 or not must_not:
+            return docs, scores
+        excl = np.unique(np.concatenate([m[0] for m in must_not])) if must_not else None
+        if excl is None or excl.size == 0:
+            return docs, scores
+        idx = np.searchsorted(excl, docs)
+        idx_c = np.clip(idx, 0, excl.size - 1)
+        bad = excl[idx_c] == docs
+        return docs[~bad], scores[~bad]
+
+
+def _spec_for(q: qn.Query, field: str) -> ExpansionSpec:
+    r = collect_term_requests(q, field)
+    assert len(r.expansions) == 1
+    return next(iter(r.expansions))
+
+
+def _positions_in(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
+    """Indices of ``needles`` in sorted ``haystack`` (all must be present)."""
+    return np.searchsorted(haystack, needles)
+
+
+def _union(results: List[Tuple[np.ndarray, np.ndarray]]):
+    docs = np.concatenate([r[0] for r in results])
+    scores = np.concatenate([r[1] for r in results])
+    ud, inv = np.unique(docs, return_inverse=True)
+    s = np.zeros(ud.size, dtype=np.float64)
+    np.add.at(s, inv, scores)
+    c = np.zeros(ud.size, dtype=np.int64)
+    np.add.at(c, inv, 1)
+    return ud, s, c
+
+
+def top_k(docs: np.ndarray, scores: np.ndarray, k: int):
+    """Top-k by (score desc, doc_id asc) — the deterministic tie-break.
+
+    Exact under ties: keep *every* doc whose score >= the k-th score, then lexsort
+    that candidate set (so equal-score docs compete on doc_id, never on partition
+    order).
+    """
+    if docs.size == 0:
+        return docs, scores
+    if docs.size > k:
+        kth = -np.partition(-scores, k - 1)[k - 1]
+        mask = scores >= kth
+        cand_docs, cand_scores = docs[mask], scores[mask]
+    else:
+        cand_docs, cand_scores = docs, scores
+    order = np.lexsort((cand_docs, -cand_scores))[:k]
+    return cand_docs[order], cand_scores[order]

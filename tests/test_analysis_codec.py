@@ -1,0 +1,78 @@
+"""Analyzer equivalence (scalar vs Arrow-vectorized) and posting codec round trips."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucille_ray.analysis import arrow_tokenize, tokenize
+from lucille_ray.index.codec import (
+    decode_postings,
+    decode_varints,
+    delta_decode,
+    delta_encode,
+    encode_postings,
+    encode_varints,
+)
+
+TEXTS = [
+    "The cat jumped over the lazy dog",
+    "  leading and trailing  ",
+    "",
+    "punct: first.last@email.com / cats-effect!",
+    "UPPER lower MiXeD 123abc 456",
+    "unicode héllo wörld 🦖",
+    None,
+    "a",
+    "...",
+]
+
+
+def test_tokenize_basic():
+    assert tokenize("The cat jumped") == ["the", "cat", "jumped"]
+    assert tokenize("first.last@email.com") == ["first", "last", "email", "com"]
+    assert tokenize("") == []
+    assert tokenize("...") == []
+
+
+def test_arrow_tokenize_matches_scalar():
+    arr = pa.array(TEXTS, pa.string())
+    result = arrow_tokenize(arr).to_pylist()
+    for text, toks in zip(TEXTS, result):
+        assert toks == tokenize(text or "")
+
+
+def test_varint_round_trip():
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        vals = rng.integers(0, 1 << 40, int(rng.integers(1, 400)))
+        assert (decode_varints(encode_varints(vals)) == vals).all()
+    assert decode_varints(b"").size == 0
+    assert decode_varints(encode_varints(np.array([0]))).tolist() == [0]
+
+
+def test_delta_round_trip_with_segments():
+    rng = np.random.default_rng(11)
+    vals = np.sort(rng.integers(0, 1000, 50))
+    starts = np.array([0, 10, 11, 40])
+    lengths = np.diff(np.concatenate([starts, [50]]))
+    enc = delta_encode(vals.copy(), starts)
+    assert (delta_decode(enc, starts, lengths) == vals).all()
+
+
+@pytest.mark.parametrize("n", [1, 127, 128, 129, 1000])
+def test_postings_round_trip(n):
+    rng = np.random.default_rng(n)
+    doc_ids = np.unique(rng.integers(0, n * 20, n)).astype(np.int64)
+    tfs = rng.integers(1, 9, doc_ids.size)
+    pos = np.concatenate(
+        [np.sort(rng.choice(2000, int(t), replace=False)) for t in tfs]
+    ).astype(np.int64)
+    blocks = encode_postings(doc_ids, tfs, pos)
+    assert all(b["n"] <= 128 for b in blocks)
+    assert all(b["max_tf"] >= 1 for b in blocks)
+    d2, t2, p2 = decode_postings(blocks, want_positions=True)
+    assert (d2 == doc_ids).all()
+    assert (t2 == tfs).all()
+    assert (p2 == pos).all()
+    d3, t3, p3 = decode_postings(blocks, want_positions=False)
+    assert (d3 == doc_ids).all() and p3 is None

@@ -1,0 +1,158 @@
+"""End-to-end: Ray Data index build + BM25 search, rank-identical (top-k doc ids AND
+scores) to the independent brute-force oracle — the north_rule correctness contract.
+Also covers checkpoint/resume and the per-turn text-equality invariant."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from lucille_ray import transcripts as T
+from lucille_ray.index.build import build_index, segment_complete
+from lucille_ray.search.engine import SearchEngine
+from lucille_ray.search.oracle import BruteForceOracle
+
+N_TURNS = 1200
+
+# the reference query set: every AST node type exercised as a retrieval query
+QUERY_SET = [
+    "data",
+    "xylophone42",
+    "the data",
+    "data AND query",
+    "data AND query AND join",
+    "deploy OR jump",
+    "data AND NOT query",
+    "-data query",
+    "+data query",
+    "NOT data",
+    '"lazy evaluation"',
+    '"data query"~2',
+    '"query data table"~3',
+    "deploy*",
+    "c?tch",
+    "*ploy*",
+    "/jump.*/",
+    "cat~1",
+    "derp~",
+    "[deploy TO deploys]",
+    "{catch TO data]",
+    "(data query join)@2",
+    "(deploy* jump test)@2",
+    "data^2 OR query^0.5",
+    '(data AND query)^1.5 OR "lazy evaluation"^3',
+    "role:tool",
+    "role:assistant AND deploy",
+    "tool:bash",
+    "tool:(bash OR python)",
+    "role:user AND (data OR query) -join",
+    "a b AND c",  # associativity corpus reused as retrieval
+    "the cat AND data AND query OR jump",
+]
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("lr_e2e"))
+    data_dir = os.path.join(root, "data")
+    index_dir = os.path.join(root, "index")
+    T.generate(N_TURNS, data_dir, num_files=3)
+    ds = T.read_transcripts(data_dir)
+    build_index(ds, index_dir, num_segments=2, range_width=256, batch_size=400)
+    table = pq.read_table(data_dir)
+    return data_dir, index_dir, table
+
+
+@pytest.fixture(scope="module")
+def oracle(built):
+    return BruteForceOracle(built[2])
+
+
+def _compare(engine, oracle, qs, k=10):
+    got = engine.search(qs, k=k, with_meta=False)
+    gp = list(zip(got["doc_id"].to_pylist(), got["score"].to_pylist()))
+    exp = oracle.search(qs, k=k)
+    assert len(gp) == len(exp), f"{qs!r}: hit-count {len(gp)} != {len(exp)}"
+    for (gd, gs), (ed, es) in zip(gp, exp):
+        assert gd == ed, f"{qs!r}: rank order differs ({gp[:3]} vs {exp[:3]})"
+        assert abs(gs - es) < 1e-9, f"{qs!r}: score {gs} != {es}"
+
+
+@pytest.mark.parametrize("qs", QUERY_SET, ids=repr)
+def test_rank_identical_local(built, oracle, qs):
+    engine = SearchEngine(built[1], parallel=False)
+    _compare(engine, oracle, qs)
+
+
+def test_rank_identical_actor_pool(built, oracle):
+    engine = SearchEngine(built[1], parallel=True)
+    try:
+        for qs in QUERY_SET[::4]:
+            _compare(engine, oracle, qs)
+    finally:
+        engine.shutdown()
+
+
+def test_search_many_matches_search(built):
+    engine = SearchEngine(built[1], parallel=False)
+    singles = [engine.search(q, k=5, with_meta=False) for q in QUERY_SET[:6]]
+    batch = engine.search_many(QUERY_SET[:6], k=5)
+    for s, (bd, bs) in zip(singles, batch):
+        assert s["doc_id"].to_pylist() == bd.tolist()
+
+
+def test_result_metadata_join(built):
+    engine = SearchEngine(built[1], parallel=False)
+    t = engine.search("xylophone42", k=5)
+    assert t.column_names == ["doc_id", "conv_id", "turn_idx", "score"]
+    assert t.num_rows > 0
+    # doc_id is the rank under stable (conv_id, turn_idx) order
+    doc = t["doc_id"][0].as_py()
+    assert t["conv_id"][0].as_py() == f"conv-{doc // T.TURNS_PER_CONV:010d}"
+    assert t["turn_idx"][0].as_py() == doc % T.TURNS_PER_CONV
+
+
+def test_per_turn_text_equality_invariant(built):
+    """Docmapped output preserves every turn's text under (conv_id, turn_idx)."""
+    data_dir, index_dir, table = built
+    mapped = pq.read_table(
+        os.path.join(index_dir, "docmapped"),
+        columns=["conv_id", "turn_idx", "text", "doc_id"],
+    )
+    order = pc.sort_indices(
+        mapped, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    mapped = mapped.take(order)
+    src_order = pc.sort_indices(
+        table, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    src = table.take(src_order)
+    assert mapped.num_rows == src.num_rows == N_TURNS
+    assert mapped["text"].to_pylist() == src["text"].to_pylist()
+    assert mapped["doc_id"].to_pylist() == list(range(N_TURNS))
+
+
+def test_resume_skips_complete_segments_and_rebuilds_missing(built, oracle):
+    data_dir, index_dir, _ = built
+    ds = T.read_transcripts(data_dir)
+    # all segments complete -> resume is a no-op (manifests untouched)
+    m0 = os.path.join(index_dir, "segments", "seg-00000", "MANIFEST.json")
+    mtime_before = os.path.getmtime(m0)
+    build_index(ds, index_dir, num_segments=2, range_width=256, batch_size=400)
+    assert os.path.getmtime(m0) == mtime_before
+
+    # kill segment 1 mid-flight (manifest removed) -> resume rebuilds only it
+    seg1 = os.path.join(index_dir, "segments", "seg-00001")
+    os.remove(os.path.join(seg1, "MANIFEST.json"))
+    shutil.rmtree(os.path.join(seg1, "postings.parquet"))
+    assert not segment_complete(index_dir, 1)
+    build_index(ds, index_dir, num_segments=2, range_width=256, batch_size=400)
+    assert segment_complete(index_dir, 1)
+    assert os.path.getmtime(m0) == mtime_before  # seg 0 untouched
+    engine = SearchEngine(index_dir, parallel=False)
+    _compare(engine, oracle, "data AND query")
+    _compare(engine, oracle, '"lazy evaluation"')
