@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself BEFORE importing this module; nothing here
+(or in the library) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship pipeline on /root/testdata/sf0.001: derive transcripts
+  from the documents table, build (resume-cached) a compressed inverted index via
+  Ray Data, run a compound BM25 query, return the top-k as a pyarrow Table.
+* ``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2 +
+  training-data ops); each callable takes ``sf_dir``.
+* ``oracle_sql()`` — DuckDB-equivalent SQL per query where expressible (the
+  non-SQL-expressible entries — LSH signatures, simhash, multimodal features,
+  IVF ANN — are intentionally omitted and get the driver's rows-only check).
 """
 
 from __future__ import annotations
@@ -18,27 +18,23 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from lucille_ray.pipelines import registry, run_search
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: index sf0.001 transcripts, answer a compound boolean query."""
+    return run_search(
+        "/root/testdata/sf0.001",
+        'role:assistant AND (join OR "batch window" OR s*)^1.5 -slow',
+        k=20,
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql for name, (_fn, sql) in registry().items() if sql is not None
+    }

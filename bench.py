@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""lucille-ray benchmark: headline index-build throughput + BM25 query latency.
+
+Prints exactly ONE JSON line to stdout (driver contract); progress goes to stderr.
+
+  python bench.py                 # full bench on $GRAFT_SF_DIR (default sf0.1)
+  python bench.py --scaling       # same job at num_cpus=8 and num_cpus=32 in
+                                  # fresh processes; reports scaling efficiency
+
+Env: GRAFT_SF_DIR, RAY_GRAFT_CPUS (default 32), GRAFT_BENCH_TURNS (default
+200000 synthetic transcript turns; the sf-dir documents table is tiny, so the
+index-build headline runs on generated transcripts per FIXTURES.md §2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+QUERY_SET = [
+    "data",
+    "xylophone42",
+    "data AND query AND join",
+    "deploy OR jump OR test",
+    "data AND NOT query",
+    '"lazy evaluation"',
+    '"data query"~2',
+    "deploy*",
+    "c?tch",
+    "/jump.*/",
+    "cat~1",
+    "[deploy TO deploys]",
+    "(data query join)@2",
+    "data^2 OR query^0.5",
+    "role:assistant AND deploy",
+    "tool:(bash OR python)",
+]
+
+
+def run_bench(num_cpus: int, turns: int, sf_dir: str) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from lucille_ray import transcripts as T
+    from lucille_ray.index.build import build_index
+    from lucille_ray.search.engine import SearchEngine
+    from lucille_ray.query.parser import parse
+
+    results: dict = {}
+
+    # -- 1. index build throughput over synthetic transcripts --
+    data_dir = f"/tmp/lucille_ray_bench/data-{turns}"
+    T.generate(turns, data_dir, num_files=max(8, num_cpus))
+    index_dir = f"/tmp/lucille_ray_bench/index-{turns}-{num_cpus}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    ds = T.read_transcripts(data_dir)
+    t0 = time.perf_counter()
+    build_index(ds, index_dir, num_segments=4, batch_size=16384)
+    build_s = time.perf_counter() - t0
+    results["index_build_sec"] = round(build_s, 3)
+    results["index_build_turns_per_sec"] = round(turns / build_s, 1)
+    log(f"[bench] build {turns} turns in {build_s:.1f}s "
+        f"({turns/build_s:,.0f} turns/s) @ {num_cpus} cpus")
+    if os.environ.get("GRAFT_BENCH_BUILD_ONLY"):
+        ray.shutdown()
+        return results
+
+    # -- 2. query latency over the pinned actor-pool engine --
+    engine = SearchEngine(index_dir, parallel=True)
+    engine.search("data", k=10, with_meta=False)  # warm actors
+    lat = []
+    per_query = {}
+    for rep in range(3):
+        for qs in QUERY_SET:
+            t0 = time.perf_counter()
+            engine.search(qs, k=10, with_meta=False)
+            dt = time.perf_counter() - t0
+            lat.append(dt)
+            key = f"q_{QUERY_SET.index(qs)}"
+            per_query[key] = min(per_query.get(key, dt), dt)
+    lat.sort()
+    results["query_p50_sec"] = round(lat[len(lat) // 2], 4)
+    results["query_p95_sec"] = round(lat[int(len(lat) * 0.95)], 4)
+    results["query_qps"] = round(len(lat) / sum(lat), 1)
+    log(f"[bench] query p50={results['query_p50_sec']*1000:.1f}ms "
+        f"p95={results['query_p95_sec']*1000:.1f}ms")
+    engine.shutdown()
+
+    # -- 3. documents-derived pipeline at the sf dir (driver-visible tables) --
+    if os.path.isdir(sf_dir):
+        from lucille_ray.pipelines import engine_for, run_search
+
+        tag_dir = f"/tmp/lucille_ray_cache"
+        shutil.rmtree(tag_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        run_search(sf_dir, "join AND hash", k=10)
+        results["sf_index_and_query_sec"] = round(time.perf_counter() - t0, 3)
+
+    # -- 4. parser microbench (JMH harness parity: 10/1000-term OR inputs) --
+    q10 = " OR ".join(f"t{i}" for i in range(10))
+    q1000 = " OR ".join(f"t{i}" for i in range(1000))
+    for name, q in (("parse10", q10), ("parse1000", q1000)):
+        n = 200 if name == "parse10" else 20
+        t0 = time.perf_counter()
+        for _ in range(n):
+            parse(q)
+        results[f"{name}_ms"] = round((time.perf_counter() - t0) / n * 1000, 3)
+    log(f"[bench] parse10={results['parse10_ms']}ms parse1000={results['parse1000_ms']}ms")
+
+    ray.shutdown()
+    return results
+
+
+def run_scaling(turns: int, sf_dir: str, levels=(8, 32)) -> dict:
+    """Fresh-process runs at two CPU levels on the same input; the in-sandbox
+    evidence for the two-cluster-size criterion (BASELINE.md)."""
+    out = {}
+    for ncpu in levels:
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(ncpu)
+        env["GRAFT_BENCH_TURNS"] = str(turns)
+        env["GRAFT_SF_DIR"] = "__skip__"  # scaling measures the build only
+        env["GRAFT_BENCH_BUILD_ONLY"] = "1"
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if proc.returncode != 0:
+            log(proc.stderr[-2000:])
+            raise RuntimeError(f"scaling child at {ncpu} cpus failed")
+        line = proc.stdout.strip().splitlines()[-1]
+        out[ncpu] = json.loads(line)
+        log(f"[scaling] {ncpu} cpus -> {out[ncpu]['index_build_turns_per_sec']:,} turns/s")
+    lo, hi = levels
+    thr_lo = out[lo]["index_build_turns_per_sec"]
+    thr_hi = out[hi]["index_build_turns_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "levels": list(levels),
+        "throughput_turns_per_sec": {str(k): v["index_build_turns_per_sec"] for k, v in out.items()},
+        "build_sec": {str(k): v["index_build_sec"] for k, v in out.items()},
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    turns = int(os.environ.get("GRAFT_BENCH_TURNS", "200000"))
+
+    if "--scaling" in sys.argv:
+        res = run_scaling(turns, sf_dir)
+        payload = {
+            "metric": "index_build_scaling_efficiency",
+            "value": res["scaling_efficiency"],
+            "unit": "ratio",
+            "queries": res["throughput_turns_per_sec"],
+            "sf": sf_dir,
+            "num_cpus": res["levels"],
+        }
+        print(json.dumps(payload), flush=True)
+        return
+
+    if "--child" in sys.argv:
+        results = run_bench(num_cpus, turns, "__skip__")
+        print(json.dumps(results), flush=True)
+        return
+
+    t0 = time.perf_counter()
+    results = run_bench(num_cpus, turns, sf_dir)
+    total = round(time.perf_counter() - t0, 3)
+    sf = sf_dir.rstrip("/").split("/")[-1]
+    payload = {
+        "metric": "index_build_plus_query_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "bench_turns": turns,
+    }
+    print(json.dumps(payload), flush=True)
+
+
+if __name__ == "__main__":
+    main()

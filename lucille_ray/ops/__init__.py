@@ -1,0 +1,22 @@
+from .dedup import (  # noqa: F401
+    MinHasher,
+    SimHasher,
+    exact_dedup,
+    minhash_dedup,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash_signatures,
+)
+from .multimodal import (  # noqa: F401
+    FakeImageCodec,
+    ImageFeatureStage,
+    attach_fake_images,
+    image_features,
+)
+from .similarity import IVFIndex, knn_brute  # noqa: F401
+from .textstats import (  # noqa: F401
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_counts,
+)

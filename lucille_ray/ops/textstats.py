@@ -1,0 +1,135 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All vectorized map_batches stages whose arithmetic is
+deliberately *integer-exact* where a classification threshold is involved, so the
+DuckDB oracle reproduces decisions bit-for-bit (no float boundary flakes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..analysis import arrow_tokenize
+
+# tiny per-language stopword marker sets (heuristic language ID)
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of", "to"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "fr": ("le", "la", "les", "et", "des"),
+    "es": ("el", "los", "las", "que", "una"),
+}
+EN_MARKERS_SQL = "('the','a','and','of','to')"
+
+
+def token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, n_tokens) per document."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = arrow_tokenize(batch[text_col])
+        n = pc.fill_null(pc.list_value_length(toks), 0).cast(pa.int64())
+        return pa.table({id_col: batch[id_col], "n_tokens": n})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_scores(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc quality features: token count, char count, distinct-token count,
+    and an integer quality bucket 0-3 (length + lexical diversity)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        toks = arrow_tokenize(batch[text_col])
+        n_tok = pc.fill_null(pc.list_value_length(toks), 0).cast(pa.int64())
+        n_chars = pc.fill_null(
+            pc.utf8_length(pc.fill_null(batch[text_col], "")), 0
+        ).cast(pa.int64())
+        n_uniq = (
+            pl.from_arrow(pa.table({"t": toks}))["t"].list.n_unique()
+        ).to_numpy().astype(np.int64)
+        nt = n_tok.to_numpy(zero_copy_only=False)
+        # integer-exact bucketing: length >= 20 tokens, diversity 2*uniq >= ntok
+        bucket = (
+            (nt >= 20).astype(np.int64)
+            + (nt >= 5).astype(np.int64)
+            + (2 * n_uniq >= nt).astype(np.int64)
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": n_tok,
+                "n_chars": n_chars,
+                "n_uniq_tokens": pa.array(n_uniq),
+                "quality_bucket": pa.array(bucket),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def lang_id(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Heuristic language ID: integer-threshold on English-marker density
+    (100*hits > 8*n_tokens -> 'en', else 'other'); exact in SQL."""
+
+    markers = set(LANG_MARKERS["en"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks_list = arrow_tokenize(batch[text_col])
+        flat = toks_list.flatten()
+        parents = pc.list_parent_indices(toks_list)
+        is_marker = pc.is_in(flat, value_set=pa.array(sorted(markers)))
+        n = len(batch)
+        hits = np.zeros(n, dtype=np.int64)
+        pk = parents.filter(is_marker).to_numpy(zero_copy_only=False)
+        if len(pk):
+            u, c = np.unique(pk, return_counts=True)
+            hits[u] = c
+        ntok = pc.fill_null(pc.list_value_length(toks_list), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        pred = np.where(100 * hits > 8 * ntok, "en", "other")
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "marker_hits": pa.array(hits),
+                "n_tokens": pa.array(ntok),
+                "lang_pred": pa.array(pred.astype(str)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Normalized-content fingerprint: md5 of the space-joined analyzed tokens
+    (canonical form is whitespace/punctuation/case-insensitive); plus a 61-bit
+    rolling polynomial hash for cheap streaming comparison."""
+
+    M = (1 << 61) - 1
+    BASE = 1000003
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks_col = arrow_tokenize(batch[text_col]).to_pylist()
+        md5s, rolls = [], []
+        for toks in toks_col:
+            toks = toks or []
+            joined = " ".join(toks)
+            md5s.append(hashlib.md5(joined.encode()).hexdigest())
+            h = 0
+            for t in toks:
+                th = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+                h = (h * BASE + th) % M
+            rolls.append(h)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "fingerprint_md5": pa.array(md5s),
+                "rolling_hash": pa.array(np.array(rolls, dtype=np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,187 @@
+"""ANSI-SQL (DuckDB) oracle builders mirroring the engine's semantics exactly.
+
+The driver's correctness gate runs each ``queries()`` Ray pipeline AND the
+corresponding SQL from ``oracle_sql()`` over the same parquet tables, then
+hash-compares values. Everything here is therefore written to be *bit-compatible*
+with the engine:
+
+* same analyzer expression (:data:`lucille_ray.analysis.SQL_TOKENS_EXPR`)
+* same BM25 (k1=1.2, b=0.75, idf = ln(1+(N-df+0.5)/(df+0.5))) in float64
+* same boolean semantics (MUST/SHOULD/MUST_NOT, minimum-match counting)
+* phrase/proximity frequencies as count-of-start-positions via token-position
+  self-joins (never regex scans, whose non-overlapping counting diverges)
+* classification thresholds in integer arithmetic (no float boundaries)
+* scores rounded to 4 decimals AFTER ranking, identical column names both sides
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from .analysis import SQL_TOKENS_EXPR
+from .transcripts import TRANSCRIPTS_SQL_CTE
+
+K1 = "1.2"
+K1P1 = "2.2"
+ONE_MINUS_B = "0.25"
+B = "0.75"
+
+
+def tokens_expr(col: str) -> str:
+    return SQL_TOKENS_EXPR.format(col=col)
+
+
+def field_ctes(fields: Sequence[str] = ("text",)) -> str:
+    """Token/tf/df/dl/stat CTE block per indexed field, over `transcripts`."""
+    parts = []
+    for f in fields:
+        te = tokens_expr(f)
+        parts.append(
+            f"""arr_{f} AS (
+  SELECT doc_id, {te} AS arr FROM transcripts
+),
+tok_{f} AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) - 1 AS pos
+  FROM arr_{f}
+),
+tf_{f} AS (SELECT doc_id, term, count(*) AS tf FROM tok_{f} GROUP BY 1, 2),
+df_{f} AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok_{f} GROUP BY 1),
+dl_{f} AS (SELECT doc_id, len(arr) AS dl FROM arr_{f}),
+st_{f} AS (
+  SELECT (SELECT count(*) FROM transcripts) AS n,
+         (SELECT sum(dl) FROM dl_{f}) * 1.0 / (SELECT count(*) FROM transcripts) AS avgdl
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _idf(field: str) -> str:
+    return f"ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))"
+
+
+def _tfnorm(tf_expr: str) -> str:
+    return (
+        f"({tf_expr} * {K1P1}) / "
+        f"({tf_expr} + {K1} * ({ONE_MINUS_B} + {B} * dl.dl / st.avgdl))"
+    )
+
+
+def term_clause(field: str, term: str, boost: float = 1.0) -> str:
+    """(doc_id, s) rows for one exact term."""
+    b = f" * {boost!r}" if boost != 1.0 else ""
+    return f"""SELECT tf.doc_id, {_idf(field)} * {_tfnorm('tf.tf')}{b} AS s
+FROM tf_{field} tf
+JOIN df_{field} df USING (term)
+JOIN dl_{field} dl ON dl.doc_id = tf.doc_id
+CROSS JOIN st_{field} st
+WHERE tf.term = '{term}'"""
+
+
+def expansion_clause(field: str, term_predicate: str, boost: float = 1.0) -> str:
+    """(doc_id, s) rows summing per-term BM25 over all dictionary matches —
+    identical to the engine's multi-term expansion scoring."""
+    b = f" * {boost!r}" if boost != 1.0 else ""
+    return f"""SELECT tf.doc_id, sum({_idf(field)} * {_tfnorm('tf.tf')}){b} AS s
+FROM tf_{field} tf
+JOIN df_{field} df USING (term)
+JOIN dl_{field} dl ON dl.doc_id = tf.doc_id
+CROSS JOIN st_{field} st
+WHERE {term_predicate}
+GROUP BY tf.doc_id"""
+
+
+def phrase_clause(field: str, terms: Sequence[str], boost: float = 1.0) -> str:
+    """Exact-adjacency phrase: freq = count of start positions; idf = sum of the
+    constituent term idfs (engine contract)."""
+    assert len(terms) >= 2
+    joins, conds = [], []
+    for i, t in enumerate(terms):
+        joins.append(f"tok_{field} p{i}")
+        conds.append(f"p{i}.term = '{t}'")
+        if i:
+            conds.append(f"p{i}.doc_id = p0.doc_id")
+            conds.append(f"p{i}.pos = p0.pos + {i}")
+    idf_sum = " + ".join(
+        f"(SELECT ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) "
+        f"FROM df_{field} df CROSS JOIN st_{field} st WHERE df.term = '{t}')"
+        for t in terms
+    )
+    b = f" * {boost!r}" if boost != 1.0 else ""
+    return f"""SELECT pf.doc_id, ({idf_sum}) * {_tfnorm('pf.freq')}{b} AS s
+FROM (
+  SELECT p0.doc_id, count(*) AS freq
+  FROM {', '.join(joins)}
+  WHERE {' AND '.join(conds)}
+  GROUP BY p0.doc_id
+) pf
+JOIN dl_{field} dl ON dl.doc_id = pf.doc_id
+CROSS JOIN st_{field} st"""
+
+
+def proximity2_clause(field: str, t1: str, t2: str, gap: int, boost: float = 1.0) -> str:
+    """Two-term ordered proximity (each gap <= ``gap``): freq = count of DISTINCT
+    start positions with a valid continuation — the engine's reachability rule."""
+    b = f" * {boost!r}" if boost != 1.0 else ""
+    idf_sum = " + ".join(
+        f"(SELECT ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) "
+        f"FROM df_{field} df CROSS JOIN st_{field} st WHERE df.term = '{t}')"
+        for t in (t1, t2)
+    )
+    return f"""SELECT pf.doc_id, ({idf_sum}) * {_tfnorm('pf.freq')}{b} AS s
+FROM (
+  SELECT p1.doc_id, count(DISTINCT p1.pos) AS freq
+  FROM tok_{field} p1 JOIN tok_{field} p2
+    ON p2.doc_id = p1.doc_id AND p2.pos > p1.pos AND p2.pos <= p1.pos + {gap + 1}
+  WHERE p1.term = '{t1}' AND p2.term = '{t2}'
+  GROUP BY p1.doc_id
+) pf
+JOIN dl_{field} dl ON dl.doc_id = pf.doc_id
+CROSS JOIN st_{field} st"""
+
+
+def bool_query(
+    clauses: Sequence[str],
+    *,
+    mode: str = "or",  # or | and | minmatch
+    min_match: int = 1,
+    exclude: Sequence[str] = (),
+    k: int = 10,
+) -> str:
+    """Combine (doc_id, s) clause subqueries with Lucene boolean semantics and emit
+    the final top-k ``(doc_id, score_r)``."""
+    unioned = "\nUNION ALL\n".join(f"SELECT doc_id, s FROM ({c})" for c in clauses)
+    having = {
+        "or": "TRUE",
+        "and": f"count(*) = {len(clauses)}",
+        "minmatch": f"count(*) >= {min_match}",
+    }[mode]
+    not_filter = ""
+    if exclude:
+        ex = "\nUNION ALL\n".join(f"SELECT doc_id FROM ({c})" for c in exclude)
+        not_filter = f"AND agg.doc_id NOT IN (SELECT doc_id FROM ({ex}))"
+    return f"""SELECT agg.doc_id, round(agg.score, 4) AS score_r
+FROM (
+  SELECT doc_id, sum(s) AS score, count(*) AS cnt
+  FROM ({unioned})
+  GROUP BY doc_id
+  HAVING {having}
+) agg
+WHERE TRUE {not_filter}
+ORDER BY agg.score DESC, agg.doc_id ASC
+LIMIT {k}"""
+
+
+def search_sql(
+    clauses: Sequence[str],
+    *,
+    fields: Sequence[str] = ("text",),
+    mode: str = "or",
+    min_match: int = 1,
+    exclude: Sequence[str] = (),
+    k: int = 10,
+) -> str:
+    """Full statement: transcripts CTE + per-field stats + boolean combination."""
+    return (
+        f"WITH {TRANSCRIPTS_SQL_CTE},\n{field_ctes(fields)}\n"
+        + bool_query(clauses, mode=mode, min_match=min_match, exclude=exclude, k=k)
+    )

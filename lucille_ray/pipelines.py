@@ -1,0 +1,404 @@
+"""Driver-facing pipelines: every ``queries()`` entry of ``__ray_entry__`` is
+implemented here as a Ray Data pipeline, with its DuckDB oracle twin built by
+:mod:`lucille_ray.oracle_sql`.
+
+Search entries run against a *real* index built (and cached under /tmp) from the
+transcripts derivation of ``{sf_dir}/documents.parquet``; the SQL oracle
+recomputes identical BM25 from the same parquet via the shared transcripts CTE.
+Column names match the oracle exactly (the driver hash-compares by sorted column
+name)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import oracle_sql as osql
+from .analysis import tokenize
+from .index.build import build_index
+from .ops import (
+    attach_fake_images,
+    exact_dedup,
+    fingerprints,
+    image_features,
+    knn_brute,
+    lang_id,
+    minhash_signatures,
+    quality_scores,
+    simhash_signatures,
+    token_counts,
+)
+from .search.engine import SearchEngine
+from .transcripts import derive_from_documents
+
+CACHE_ROOT = "/tmp/lucille_ray_cache"
+
+_ENGINES: Dict[str, SearchEngine] = {}
+
+
+def _documents(sf_dir: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+def engine_for(sf_dir: str) -> SearchEngine:
+    """Build (once, resumable) and cache the index over sf_dir's derived
+    transcripts; doc_id equals documents.doc_id by construction."""
+    eng = _ENGINES.get(sf_dir)
+    if eng is None:
+        tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+        index_dir = os.path.join(CACHE_ROOT, f"idx-{tag}")
+        ds = derive_from_documents(sf_dir)
+        build_index(ds, index_dir, num_segments=2, batch_size=8192, resume=True)
+        eng = SearchEngine(index_dir, parallel=False)
+        _ENGINES[sf_dir] = eng
+    return eng
+
+
+def run_search(sf_dir: str, query: str, k: int = 10) -> pa.Table:
+    """Engine top-k -> (doc_id, score_r) with post-ranking 4-decimal rounding —
+    the exact contract of oracle_sql.bool_query."""
+    t = engine_for(sf_dir).search(query, k=k, with_meta=False)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "score_r": pc.round(t["score"], 4),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# non-search pipelines
+# ---------------------------------------------------------------------------
+
+
+def transcripts_build(sf_dir: str):
+    return derive_from_documents(sf_dir, keep_doc_id=True)
+
+
+def token_counts_q(sf_dir: str):
+    return token_counts(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def doc_stats(sf_dir: str) -> pa.Table:
+    """Integer-exact corpus stats from the built index metadata."""
+    eng = engine_for(sf_dir)
+    n_docs = 0
+    total_tokens = 0
+    terms = set()
+    scorer = eng._scorers()[0]
+    for r in scorer.readers:
+        n_docs += r.doc_count
+        total_tokens += r.total_dl("text")
+        terms.update(r.term_dict("text")[0].tolist())
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "total_tokens": pa.array([total_tokens], pa.int64()),
+            "n_terms": pa.array([len(terms)], pa.int64()),
+        }
+    )
+
+
+def exact_dedup_q(sf_dir: str) -> pa.Table:
+    out = exact_dedup(_documents(sf_dir, ["doc_id", "text"])).to_pandas()
+    out = out.rename(columns={"min(doc_id)": "keep_id", "count()": "dup_count"})
+    return pa.Table.from_pandas(out[["h", "keep_id", "dup_count"]], preserve_index=False)
+
+
+def quality_q(sf_dir: str):
+    return quality_scores(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def lang_id_q(sf_dir: str):
+    return lang_id(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def fingerprint_q(sf_dir: str):
+    ds = fingerprints(_documents(sf_dir, ["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "fingerprint_md5"])
+
+
+def knn_q(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    head = head.take(pc.sort_indices(head["vec_id"])[:3])
+    qids = np.asarray(head["vec_id"].to_pylist(), np.int64)
+    qmat = np.asarray(head["embedding"].to_pylist(), np.float64)
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    t = knn_brute(ds, qids, qmat, k=5)
+    return pa.table(
+        {
+            "query_id": t["query_id"],
+            "neighbor_id": t["neighbor_id"],
+            "rank": t["rank"],
+            "sim_r": pc.round(t["sim"], 4),
+        }
+    )
+
+
+def minhash_q(sf_dir: str):
+    """(doc_id, band, bucket) LSH rows — rows-only check (not SQL-expressible)."""
+    ds = minhash_signatures(_documents(sf_dir, ["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "band", "bucket"])
+
+
+def simhash_q(sf_dir: str):
+    return simhash_signatures(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def image_features_q(sf_dir: str):
+    ds = attach_fake_images(_documents(sf_dir, ["doc_id"]), side=8)
+    return image_features(ds, batch_size=64)
+
+
+def ivf_knn_q(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .ops import IVFIndex
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    order = pc.sort_indices(head["vec_id"])
+    head = head.take(order[:3])
+    qids = np.asarray(head["vec_id"].to_pylist(), np.int64)
+    qmat = np.asarray(head["embedding"].to_pylist(), np.float64)
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    idx = IVFIndex(n_clusters=8, n_iter=5).fit(ds)
+    t = idx.search(qids, qmat, k=5, nprobe=3)
+    return pa.table(
+        {
+            "query_id": t["query_id"],
+            "neighbor_id": t["neighbor_id"],
+            "rank": t["rank"],
+            "sim_r": pc.round(t["sim"], 4),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# the registry: name -> (ray callable, oracle sql | None)
+# ---------------------------------------------------------------------------
+
+
+def _sql_transcripts_build() -> str:
+    return (
+        f"WITH {osql.TRANSCRIPTS_SQL_CTE}\n"
+        "SELECT conv_id, turn_idx, role, text, tool, ts, doc_id FROM transcripts"
+    )
+
+
+def _sql_token_counts() -> str:
+    return (
+        f"SELECT doc_id, len({osql.tokens_expr('text')}) AS n_tokens FROM documents"
+    )
+
+
+def _sql_doc_stats() -> str:
+    te = osql.tokens_expr("text")
+    return f"""WITH {osql.TRANSCRIPTS_SQL_CTE},
+arr AS (SELECT doc_id, {te} AS arr FROM transcripts)
+SELECT (SELECT count(*) FROM transcripts) AS n_docs,
+       (SELECT coalesce(sum(len(arr)), 0) FROM arr) AS total_tokens,
+       (SELECT count(DISTINCT t.term) FROM (SELECT unnest(arr) AS term FROM arr) t) AS n_terms"""
+
+
+def _sql_exact_dedup() -> str:
+    return """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text)"""
+
+
+def _sql_quality() -> str:
+    te = osql.tokens_expr("text")
+    return f"""WITH arr AS (SELECT doc_id, text, {te} AS arr FROM documents)
+SELECT doc_id,
+       len(arr) AS n_tokens,
+       length(coalesce(text, '')) AS n_chars,
+       len(list_distinct(arr)) AS n_uniq_tokens,
+       (CASE WHEN len(arr) >= 20 THEN 1 ELSE 0 END
+        + CASE WHEN len(arr) >= 5 THEN 1 ELSE 0 END
+        + CASE WHEN 2 * len(list_distinct(arr)) >= len(arr) THEN 1 ELSE 0 END
+       ) AS quality_bucket
+FROM arr"""
+
+
+def _sql_lang_id() -> str:
+    te = osql.tokens_expr("text")
+    from .ops.textstats import EN_MARKERS_SQL
+
+    return f"""WITH arr AS (SELECT doc_id, {te} AS arr FROM documents)
+SELECT doc_id,
+       len(list_filter(arr, x -> x IN {EN_MARKERS_SQL})) AS marker_hits,
+       len(arr) AS n_tokens,
+       CASE WHEN 100 * len(list_filter(arr, x -> x IN {EN_MARKERS_SQL}))
+                 > 8 * len(arr)
+            THEN 'en' ELSE 'other' END AS lang_pred
+FROM arr"""
+
+
+def _sql_fingerprint() -> str:
+    te = osql.tokens_expr("text")
+    return f"""SELECT doc_id, md5(array_to_string({te}, ' ')) AS fingerprint_md5
+FROM documents"""
+
+
+def _sql_knn() -> str:
+    return """WITH q AS (
+  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 3
+),
+sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q, embeddings e
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim_r
+FROM ranked WHERE rank <= 5"""
+
+
+def _tc(term: str, boost: float = 1.0) -> str:
+    return osql.term_clause("text", term, boost)
+
+
+SEARCH_QUERIES: Dict[str, tuple] = {
+    # name: (query string, oracle sql | None)
+    "search_term": ("join", osql.search_sql([_tc("join")])),
+    "search_and": (
+        "join AND hash",
+        osql.search_sql([_tc("join"), _tc("hash")], mode="and"),
+    ),
+    "search_or": (
+        "scan OR merge OR filter",
+        osql.search_sql([_tc("scan"), _tc("merge"), _tc("filter")]),
+    ),
+    "search_not": (
+        "join AND NOT hash",
+        osql.search_sql([_tc("join")], mode="and", exclude=[_tc("hash")]),
+    ),
+    "search_boost": (
+        "join^2 OR hash^0.5",
+        osql.search_sql([_tc("join", 2.0), _tc("hash", 0.5)]),
+    ),
+    "search_minmatch": (
+        "(join hash scan)@2",
+        osql.search_sql(
+            [_tc("join"), _tc("hash"), _tc("scan")], mode="minmatch", min_match=2
+        ),
+    ),
+    "search_field_role": (
+        "role:assistant AND join",
+        osql.search_sql(
+            [osql.term_clause("role", "assistant"), _tc("join")],
+            fields=("text", "role"),
+            mode="and",
+        ),
+    ),
+    "search_field_tool": (
+        "tool:search OR tool:code",
+        osql.search_sql(
+            [osql.term_clause("tool", "search"), osql.term_clause("tool", "code")],
+            fields=("tool",),
+        ),
+    ),
+    "search_phrase": (
+        '"batch window"',
+        osql.search_sql([osql.phrase_clause("text", ["batch", "window"])]),
+    ),
+    "search_proximity": (
+        '"batch window"~2',
+        osql.search_sql([osql.proximity2_clause("text", "batch", "window", 2)]),
+    ),
+    "search_prefix": (
+        "s*",
+        osql.search_sql([osql.expansion_clause("text", "tf.term LIKE 's%'")]),
+    ),
+    "search_wildcard": (
+        "s?ow",
+        osql.search_sql(
+            [osql.expansion_clause("text", "regexp_full_match(tf.term, 's.ow')")]
+        ),
+    ),
+    "search_regex": (
+        "/s(can|low)/",
+        osql.search_sql(
+            [osql.expansion_clause("text", "regexp_full_match(tf.term, 's(can|low)')")]
+        ),
+    ),
+    "search_fuzzy": (
+        "joinx~1",
+        osql.search_sql(
+            [osql.expansion_clause("text", "levenshtein(tf.term, 'joinx') <= 1")]
+        ),
+    ),
+    "search_range": (
+        "[scan TO sort]",
+        osql.search_sql(
+            [osql.expansion_clause("text", "tf.term >= 'scan' AND tf.term <= 'sort'")]
+        ),
+    ),
+    "search_nested": (
+        "(join OR hash) AND (scan OR merge) -slow",
+        None,  # assembled below
+    ),
+}
+
+# nested boolean: Or( And(Group(join|hash), Group(scan|merge)), UnaryMinus(slow) )
+# -> match docs of the And part, excluding 'slow'
+_or1 = (
+    "SELECT doc_id, sum(s) AS s FROM ("
+    + f"SELECT doc_id, s FROM ({_tc('join')}) UNION ALL SELECT doc_id, s FROM ({_tc('hash')})"
+    + ") GROUP BY doc_id"
+)
+_or2 = (
+    "SELECT doc_id, sum(s) AS s FROM ("
+    + f"SELECT doc_id, s FROM ({_tc('scan')}) UNION ALL SELECT doc_id, s FROM ({_tc('merge')})"
+    + ") GROUP BY doc_id"
+)
+SEARCH_QUERIES["search_nested"] = (
+    "(join OR hash) AND (scan OR merge) -slow",
+    osql.search_sql([_or1, _or2], mode="and", exclude=[_tc("slow")]),
+)
+
+
+def registry() -> Dict[str, tuple]:
+    """name -> (callable(sf_dir), oracle_sql | None)"""
+    out: Dict[str, tuple] = {
+        "transcripts_build": (transcripts_build, _sql_transcripts_build()),
+        "token_counts": (token_counts_q, _sql_token_counts()),
+        "doc_stats": (doc_stats, _sql_doc_stats()),
+        "exact_dedup": (exact_dedup_q, _sql_exact_dedup()),
+        "quality_scores": (quality_q, _sql_quality()),
+        "lang_id": (lang_id_q, _sql_lang_id()),
+        "fingerprints": (fingerprint_q, _sql_fingerprint()),
+        "knn_cosine": (knn_q, _sql_knn()),
+        # rows-only (non-SQL-expressible) ops
+        "minhash_lsh": (minhash_q, None),
+        "simhash": (simhash_q, None),
+        "image_features": (image_features_q, None),
+        "ivf_knn": (ivf_knn_q, None),
+    }
+    for name, (qs, sql) in SEARCH_QUERIES.items():
+        out[name] = (
+            (lambda sf_dir, _q=qs: run_search(sf_dir, _q)),
+            sql,
+        )
+    return out

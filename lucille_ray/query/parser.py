@@ -215,17 +215,14 @@ def _build_parser(default_boolean_or: bool) -> C.Parser:
     )
 
     # (...) group; P.not('@') lets MinimumMatch win (QueryParser.scala:113-118)
-    def group_q(s: str, pos: int):
-        p = C.fmap(
-            C.seq(
-                C.char("("),
-                _wrapped_queries,
-                C.char(")"),
-                C.not_(C.char("@")),
-            ),
-            lambda t: Group(t[1]),
-        )
-        return p(s, pos)
+    # late-bound: _wrapped_queries is defined below in this scope
+    def _wrapped_ref(s: str, pos: int):
+        return _wrapped_queries(s, pos)
+
+    group_q = C.fmap(
+        C.seq(C.char("("), _wrapped_ref, C.char(")"), C.not_(C.char("@"))),
+        lambda t: Group(t[1]),
+    )
 
     # q^float — boostable base limited per QueryParser.scala:62-67; boost must be
     # followed by queryEnd so '^3.1f' is rejected
@@ -239,11 +236,12 @@ def _build_parser(default_boolean_or: bool) -> C.Parser:
     )
 
     # ( ... )@int (QueryParser.scala:72-76)
-    def nel_in_parens(s: str, pos: int):
-        p = C.fmap(
-            C.seq(C.char("("), _nel_queries, C.char(")")), lambda t: t[1]
-        )
-        return p(s, pos)
+    def _nel_ref(s: str, pos: int):
+        return _nel_queries(s, pos)
+
+    nel_in_parens = C.fmap(
+        C.seq(C.char("("), _nel_ref, C.char(")")), lambda t: t[1]
+    )
 
     minimum_match_q = C.fmap(
         C.soft_seq(

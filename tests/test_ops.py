@@ -1,0 +1,119 @@
+"""Training-data pipeline operators: dedup (exact/MinHash/SimHash), similarity
+search (brute + IVF), text stats, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucille_ray.ops import (
+    IVFIndex,
+    attach_fake_images,
+    exact_dedup,
+    image_features,
+    knn_brute,
+    minhash_dedup,
+    ngram_jaccard,
+    simhash_signatures,
+)
+from lucille_ray.ops.dedup import MinHasher
+
+
+def _docs_ds(texts):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    )
+
+
+def test_exact_dedup_groups_identical_texts(ray_session):
+    texts = ["a b c", "d e f", "a b c", "g h", "a b c", "d e f"]
+    out = exact_dedup(_docs_ds(texts)).to_pandas()
+    out = out.rename(columns={"min(doc_id)": "keep_id", "count()": "dup_count"})
+    by_keep = {int(r.keep_id): int(r.dup_count) for r in out.itertuples()}
+    assert by_keep == {0: 3, 1: 2, 3: 1}
+
+
+def test_minhash_finds_planted_near_duplicates(ray_session):
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest tonight").split()
+    texts = []
+    for i in range(20):
+        texts.append(" ".join(np.random.default_rng(i).permutation(base)[:12]))
+    near_dup = " ".join(base) + " extra"
+    texts += [" ".join(base), near_dup]  # docs 20, 21: ~0.9 shingle overlap
+    pairs = minhash_dedup(_docs_ds(texts), threshold=0.5, num_perm=64, bands=16).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (20, 21) in found
+    # sanity: jaccard of the planted pair really is high; random pairs are not
+    assert ngram_jaccard(base, base + ["extra"]) > 0.8
+    assert ngram_jaccard(texts[0].split(), texts[1].split()) < 0.3
+
+
+def test_simhash_deterministic_and_similarity_sensitive(ray_session):
+    texts = ["alpha beta gamma delta epsilon zeta", "alpha beta gamma delta epsilon eta",
+             "completely different words here now"]
+    out = simhash_signatures(_docs_ds(texts)).to_pandas().sort_values("doc_id")
+    h = out["simhash"].to_numpy().astype(np.uint64)
+    out2 = simhash_signatures(_docs_ds(texts)).to_pandas().sort_values("doc_id")
+    assert (h == out2["simhash"].to_numpy().astype(np.uint64)).all()
+    ham = lambda a, b: bin(int(a) ^ int(b)).count("1")
+    assert ham(h[0], h[1]) < ham(h[0], h[2])
+
+
+def test_minhash_estimates_jaccard(ray_session):
+    mh = MinHasher(num_perm=128, shingle_k=2)
+    a = "one two three four five six seven eight nine ten".split()
+    b = "one two three four five six seven eight different words".split()
+    sa, sb = mh.signature(a), mh.signature(b)
+    est = (sa == sb).mean()
+    true = ngram_jaccard(a, b, k=2)
+    assert abs(est - true) < 0.2
+
+
+def _emb_ds(n=100, dim=16, seed=3):
+    import ray.data
+
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, dim)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, row)) for row in m],
+                              pa.list_(pa.float32())),
+    })
+    return ray.data.from_arrow(t), m
+
+
+def test_knn_brute_matches_numpy(ray_session):
+    ds, m = _emb_ds()
+    q = m[:2].astype(np.float64)
+    t = knn_brute(ds, np.array([0, 1]), q, k=5)
+    mm = m.astype(np.float64)
+    mm /= np.linalg.norm(mm, axis=1, keepdims=True)
+    sims = (q / np.linalg.norm(q, axis=1, keepdims=True)) @ mm.T
+    for qi in (0, 1):
+        expect = np.lexsort((np.arange(len(mm)), -sims[qi]))[:5]
+        got = t.filter(pa.compute.equal(t["query_id"], qi))["neighbor_id"].to_pylist()
+        assert got == expect.tolist()
+
+
+def test_ivf_recall_top1(ray_session):
+    ds, m = _emb_ds(n=200)
+    q = m[10:13].astype(np.float64)
+    idx = IVFIndex(n_clusters=8, n_iter=5).fit(ds)
+    t = idx.search(np.array([10, 11, 12]), q, k=1, nprobe=4)
+    # the query vectors themselves must be their own top-1 (they're in the data)
+    assert t["neighbor_id"].to_pylist() == [10, 11, 12]
+
+
+def test_image_feature_stage(ray_session):
+    ds = _docs_ds(["x"] * 10).select_columns(["doc_id"])
+    feats = image_features(attach_fake_images(ds, side=8), batch_size=4).to_pandas()
+    assert set(feats.columns) >= {"doc_id", "pix_mean", "pix_std", "image_width"}
+    assert len(feats) == 10
+    again = image_features(attach_fake_images(ds, side=8), batch_size=4).to_pandas()
+    f1 = feats.sort_values("doc_id")["pix_mean"].to_numpy()
+    f2 = again.sort_values("doc_id")["pix_mean"].to_numpy()
+    assert (f1 == f2).all()  # deterministic fake decode
+    assert len(np.unique(f1)) > 1  # payloads differ per doc
