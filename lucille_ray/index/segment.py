@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+from collections import OrderedDict
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -47,7 +48,10 @@ class SegmentReader:
         self.doc_count = int(self.stats["doc_count"])
         self._norms: Optional[Dict[str, np.ndarray]] = None
         self._term_dicts: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
-        self._postings_ds = None
+        # decoded-postings cache shared across queries (readers are pinned in
+        # long-lived scorer actors); FIFO-capped by entry count
+        self._post_cache: "OrderedDict[Tuple[str, str, bool], tuple]" = OrderedDict()
+        self._post_cache_cap = 512
 
     # ---- stats ----
 
@@ -119,9 +123,31 @@ class SegmentReader:
     def postings_many(
         self, field: str, terms: Sequence[str], want_positions: bool = False
     ) -> Dict[str, Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]]:
-        """Decode postings for many terms in one predicate-pushdown read."""
+        """Decode postings for many terms in one predicate-pushdown read; decoded
+        lists are cached across queries (the readers live in pinned actors)."""
         if self.empty or not terms:
             return {}
+        out: Dict[str, Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]] = {}
+        missing = []
+        for term in set(terms):
+            hit = self._post_cache.get((field, term, want_positions))
+            if hit is not None:
+                out[term] = hit
+            else:
+                missing.append(term)
+        if not missing:
+            return out
+        fetched = self._postings_read(field, missing, want_positions)
+        for term, val in fetched.items():
+            self._post_cache[(field, term, want_positions)] = val
+            while len(self._post_cache) > self._post_cache_cap:
+                self._post_cache.popitem(last=False)
+        out.update(fetched)
+        return out
+
+    def _postings_read(
+        self, field: str, terms: Sequence[str], want_positions: bool
+    ) -> Dict[str, Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]]:
         t = pq.read_table(
             os.path.join(self.seg_dir, "postings.parquet"),
             filters=[("field", "==", field), ("term", "in", list(set(terms)))],

@@ -193,6 +193,7 @@ class SegmentEval:
         self.reader = reader
         self.ctx = ctx
         self._cache: Dict[Tuple[str, str], tuple] = {}
+        self._offset_cache: Dict[Tuple[str, str], np.ndarray] = {}
         self._prefetch(reqs)
 
     def _prefetch(self, reqs: TermRequests) -> None:
@@ -253,16 +254,36 @@ class SegmentEval:
 
     # ---- positional ----
 
-    def _positions_of(self, field: str, term: str, doc: int) -> Optional[np.ndarray]:
-        docs, tfs, pos = self._cache.get((field, term), (EMPTY[0], EMPTY[0], None))
-        if pos is None or docs.size == 0:
-            return None
-        i = int(np.searchsorted(docs, doc))
-        if i >= docs.size or docs[i] != doc:
-            return None
-        offs = np.zeros(docs.size + 1, dtype=np.int64)
-        np.cumsum(tfs, out=offs[1:])
-        return pos[offs[i]: offs[i + 1]]
+    # positions of different docs are separated onto disjoint ranges of one global
+    # axis so the whole candidate set is processed in a handful of numpy passes
+    _DOC_STRIDE = np.int64(1) << np.int64(22)
+
+    def _offsets_of(self, field: str, term: str) -> np.ndarray:
+        key = (field, term)
+        offs = self._offset_cache.get(key)
+        if offs is None:
+            docs, tfs, _ = self._cache[key]
+            offs = np.zeros(docs.size + 1, dtype=np.int64)
+            np.cumsum(tfs, out=offs[1:])
+            self._offset_cache[key] = offs
+        return offs
+
+    def _global_positions(
+        self, field: str, term: str, cand: np.ndarray
+    ) -> np.ndarray:
+        """Concatenated positions of `term` over the candidate docs, offset by
+        candidate-index * _DOC_STRIDE (sorted ascending by construction)."""
+        docs, tfs, pos = self._cache[(field, term)]
+        offs = self._offsets_of(field, term)
+        idx = np.searchsorted(docs, cand)
+        lens = tfs[idx].astype(np.int64)
+        starts = offs[idx]
+        out_off = np.zeros(lens.size, dtype=np.int64)
+        np.cumsum(lens[:-1], out=out_off[1:])
+        total = int(lens.sum())
+        gather = np.repeat(starts - out_off, lens) + np.arange(total, dtype=np.int64)
+        doc_rep = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        return doc_rep * self._DOC_STRIDE + pos[gather]
 
     def _phrase(
         self, field: str, text: str, gap: int
@@ -280,25 +301,25 @@ class SegmentEval:
             cand = np.intersect1d(cand, p[0], assume_unique=True)
             if cand.size == 0:
                 return EMPTY
-        freqs = np.zeros(cand.size, dtype=np.int64)
-        for ci, doc in enumerate(cand):
-            # backward reachability DP: B = positions of term_i that can complete a
-            # chain to the last term with every consecutive gap <= `gap`; the freq
-            # is the number of START positions with a feasible chain (greedy-next
-            # is NOT existence-optimal under a per-gap bound, so keep full sets)
-            plists = [self._positions_of(field, t, int(doc)) for t in terms]
-            if any(p is None or p.size == 0 for p in plists):
-                continue
-            B = plists[-1]
-            for i in range(len(plists) - 2, -1, -1):
-                P = plists[i]
-                idx = np.searchsorted(B, P, side="right")
-                ok = idx < B.size
-                ok[ok] &= (B[idx[ok]] - P[ok] - 1) <= gap
-                B = P[ok]
-                if B.size == 0:
-                    break
-            freqs[ci] = B.size if B.size else 0
+        # backward reachability DP over ALL candidate docs at once: B holds the
+        # global positions of term_i that can complete a chain to the last term
+        # with every consecutive gap <= `gap`; freq(doc) = count of START
+        # positions with a feasible chain (greedy-next is NOT existence-optimal
+        # under a per-gap bound, so full frontiers are kept). The doc stride
+        # guarantees chains never cross documents (gap + 1 << stride).
+        glob = [self._global_positions(field, t, cand) for t in terms]
+        B = glob[-1]
+        for i in range(len(glob) - 2, -1, -1):
+            P = glob[i]
+            idx = np.searchsorted(B, P, side="right")
+            ok = idx < B.size
+            ok[ok] &= (B[idx[ok]] - P[ok] - 1) <= gap
+            B = P[ok]
+            if B.size == 0:
+                return EMPTY
+        freqs = np.bincount(
+            (B // self._DOC_STRIDE).astype(np.int64), minlength=cand.size
+        )
         hit = freqs > 0
         if not hit.any():
             return EMPTY
