@@ -2,30 +2,28 @@
 
 Pipeline (all stages stream with backpressure; no full materialization):
 
-Phase 0 — docmap (one shuffle, one pass over the input)
-  ``groupby(conv_id).count+max(turn_idx)`` -> tiny table -> driver prefix-sums
-  conversation base offsets (broadcast via ``ray.put``) -> ``map_batches`` attaches
-  ``doc_id = conv_base + turn_idx`` and a contiguous ``seg`` id -> hive-partitioned
-  parquet ``docmapped/seg=K/``. Doc ids are dense and follow the stable
-  ``(conv_id, turn_idx)`` order (north_rule invariant); segments are contiguous
-  doc-id ranges cut on conversation boundaries.
+Phase 0 — docmap (one pass over the input, no shuffle)
+  batch-level partial conversation counts -> driver prefix-sums conversation base
+  offsets (broadcast via ``ray.put``) -> ``map_batches`` attaches ``doc_id =
+  conv_base + turn_idx``, a contiguous ``seg`` id, and fused per-field norms
+  columns (``dl_*``) -> hive-partitioned parquet ``docmapped/seg=K/``. Doc ids
+  are dense and follow the stable ``(conv_id, turn_idx)`` order (north_rule
+  invariant); segments are contiguous doc-id ranges cut on conversation
+  boundaries.
 
 Phase 1 — per segment (the checkpoint/resume unit; a segment with a complete
-MANIFEST.json is skipped on re-run)
-  a. norms: ``map_batches`` computes per-field token counts -> ``norms.parquet``
-     (+ aggregated totals -> ``stats.json``)
-  b. postings: ``map_batches`` tokenizes (Arrow kernels + polars explode/groupby —
-     no per-row Python) and pre-aggregates within the batch to one partial row per
-     ``(field, term, doc-range-bucket)`` -> ``groupby(field, term, bucket)`` shuffle
-     -> ``map_groups`` merges partials and delta+varint block-encodes ->
-     sorted ``postings.parquet``.
+MANIFEST.json is skipped on re-run): tokenize with Arrow kernels + polars
+explode/groupby (no per-row Python) and emit block-compressed posting rows, in
+one of two layouts (see :func:`build_index`): the default ``doc_partitioned``
+layout needs NO shuffle at all; ``term_partitioned`` consolidates via a
+``groupby(field, term, bucket)`` exchange.
 
 Skew strategy: the doc-range ``bucket`` key splits hot terms (stopword-like tokens
-in chat data) across many groups *by construction* — a term's shuffle fan-in per
-group is bounded by (batches per bucket), and no single task ever merges a whole hot
-posting list. Because buckets partition doc-id ranges, the per-bucket rows of a term
-concatenate back into a globally doc-sorted posting list with zero extra work at
-read time. This replaces hash-salting + re-merge with something strictly better.
+in chat data) across many groups/pieces *by construction* — no single task ever
+merges a whole hot posting list. Because buckets follow doc-id ranges, a term's
+rows concatenate back into a doc-sorted posting list with (at most) a cheap
+re-sort at decode time. This replaces hash-salting + re-merge with something
+strictly better.
 
 Scale notes (100 TB / 10^12 turns): the conv-base broadcast dict is
 O(#conversations) — beyond driver memory you'd swap Phase 0 for a range-partitioned
@@ -50,9 +48,35 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..analysis import INDEXED_FIELDS, arrow_tokenize
-from .codec import POSTINGS_SCHEMA, encode_postings
+from .codec import POSTINGS_SCHEMA, encode_postings, sort_postings
 
 DEFAULT_RANGE_WIDTH = 1 << 17  # docs per posting bucket (128k)
+
+#: reserved pseudo-term whose "postings" carry per-doc field lengths (norms):
+#: doc_ids = every doc of the piece, tfs = dl. The analyzer can never produce it
+#: (it only emits [a-z0-9]+ runs), and term dictionaries filter it out.
+NORMS_TERM = "\x00dl"
+
+_THREADS_LIMITED = False
+
+
+def _limit_worker_threads() -> None:
+    """Pin per-task kernel thread pools to 1 CPU inside Ray workers.
+
+    polars (rayon) and Arrow compute size their pools to the *machine's* cores,
+    not the Ray CPU allocation — N concurrent tasks would otherwise each fan out
+    machine-wide, oversubscribing the node and silently breaking the
+    1-task == 1-CPU accounting that cluster scaling relies on."""
+    global _THREADS_LIMITED
+    if _THREADS_LIMITED:
+        return
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    try:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+    except Exception:
+        pass
+    _THREADS_LIMITED = True
 
 INDEX_META_FILE = "index_meta.json"
 MANIFEST_FILE = "MANIFEST.json"
@@ -63,16 +87,36 @@ MANIFEST_FILE = "MANIFEST.json"
 # ---------------------------------------------------------------------------
 
 
-def _conv_offsets(ds) -> Tuple[List[str], np.ndarray, np.ndarray]:
-    """One small shuffle: conversation -> turn count (+ density validation)."""
-    from ray.data.aggregate import Count, Max
+def _conv_partial_counts(batch: pa.Table) -> pa.Table:
+    _limit_worker_threads()
+    import polars as pl
 
-    agg = ds.groupby("conv_id").aggregate(Count(), Max("turn_idx"))
-    rows = agg.take_all()  # O(#conversations), not O(#turns)
-    rows.sort(key=lambda r: r["conv_id"])
-    convs = [r["conv_id"] for r in rows]
-    counts = np.array([r["count()"] for r in rows], dtype=np.int64)
-    max_turn = np.array([r["max(turn_idx)"] for r in rows], dtype=np.int64)
+    g = (
+        pl.from_arrow(batch.select(["conv_id", "turn_idx"]))
+        .group_by("conv_id")
+        .agg(pl.len().alias("cnt"), pl.col("turn_idx").max().alias("mx"))
+    )
+    return g.to_arrow()
+
+
+def _conv_offsets(ds) -> Tuple[List[str], np.ndarray, np.ndarray]:
+    """Conversation -> turn count (+ density validation).
+
+    Pre-aggregated per batch (one partial row per conv per batch) and merged on
+    the driver — Ray's generic string-key groupby shuffle measured ~15x slower
+    than this for the same result. Driver merge is O(#convs); at 10^12-turn
+    scale swap for a range-partitioned sort + per-partition offsets pass."""
+    import ray
+
+    refs = ds.map_batches(
+        _conv_partial_counts, batch_format="pyarrow", batch_size=65536
+    ).to_arrow_refs()
+    parts = pa.concat_tables(ray.get(refs))
+    merged = parts.group_by("conv_id").aggregate([("cnt", "sum"), ("mx", "max")])
+    merged = merged.take(pa.compute.sort_indices(merged["conv_id"]))
+    convs = merged["conv_id"].to_pylist()
+    counts = merged["cnt_sum"].to_numpy().astype(np.int64)
+    max_turn = merged["mx_max"].to_numpy().astype(np.int64)
     if not (max_turn + 1 == counts).all():
         bad = convs[int(np.argmax(max_turn + 1 != counts))]
         raise ValueError(
@@ -83,50 +127,42 @@ def _conv_offsets(ds) -> Tuple[List[str], np.ndarray, np.ndarray]:
     return convs, bases, counts
 
 
-class _AssignDocIds:
-    """Stateful map_batches callable: the conv->base table is fetched from the
-    object store once per actor (broadcast), not shipped per batch."""
+_CONV_MAP_CACHE: Dict[str, dict] = {}
 
-    def __init__(self, conv_map_ref, seg_target: int, num_segments: int):
-        import ray
 
-        self.conv_map = ray.get(conv_map_ref)
-        self.seg_target = seg_target
-        self.num_segments = num_segments
+def _assign_doc_ids(
+    batch: pa.Table, conv_map_ref, seg_target: int, num_segments: int
+) -> pa.Table:
+    """Attach doc_id/seg. The conv->base table is broadcast as an Arrow table
+    (``ray.get`` of it is zero-copy from local plasma) and the derived Python
+    lookup dict is memoized PER WORKER PROCESS — getting a pickled dict per task
+    measured 123us/row of pure deserialization."""
+    _limit_worker_threads()
+    import ray
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        convs = batch["conv_id"].to_pylist()
-        turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bases = np.fromiter(
-            (self.conv_map[c] for c in convs), dtype=np.int64, count=len(convs)
+    key = conv_map_ref.hex()
+    conv_map = _CONV_MAP_CACHE.get(key)
+    if conv_map is None:
+        tbl = ray.get(conv_map_ref)
+        conv_map = dict(
+            zip(tbl["conv_id"].to_pylist(), tbl["base"].to_numpy().tolist())
         )
-        doc_id = bases + turn
-        seg = np.minimum(bases // self.seg_target, self.num_segments - 1)
-        return batch.append_column("doc_id", pa.array(doc_id)).append_column(
-            "seg", pa.array(seg.astype(np.int32))
-        )
+        _CONV_MAP_CACHE.clear()  # one build at a time; don't hold stale maps
+        _CONV_MAP_CACHE[key] = conv_map
+    convs = batch["conv_id"].to_pylist()
+    turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bases = np.fromiter(
+        (conv_map[c] for c in convs), dtype=np.int64, count=len(convs)
+    )
+    doc_id = bases + turn
+    seg = np.minimum(bases // seg_target, num_segments - 1)
+    return batch.append_column("doc_id", pa.array(doc_id)).append_column(
+        "seg", pa.array(seg.astype(np.int32))
+    )
 
 
 # ---------------------------------------------------------------------------
-# Phase 1a — norms
-# ---------------------------------------------------------------------------
-
-
-def _make_norms_fn(fields: Sequence[str]):
-    def norms_batch(batch: pa.Table) -> pa.Table:
-        cols = {"doc_id": batch["doc_id"]}
-        for f in fields:
-            toks = arrow_tokenize(batch[f])
-            lengths = pa.compute.list_value_length(toks)
-            lengths = pa.compute.fill_null(lengths, 0)
-            cols[f"dl_{f}"] = lengths.cast(pa.int32())
-        return pa.table(cols)
-
-    return norms_batch
-
-
-# ---------------------------------------------------------------------------
-# Phase 1b — tokenize -> partial postings (vectorized)
+# Phase 1 — tokenize -> partial postings (vectorized)
 # ---------------------------------------------------------------------------
 
 
@@ -142,6 +178,7 @@ class _TokenizePartials:
         self.range_width = range_width
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        _limit_worker_threads()
         import polars as pl
 
         doc_np = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -163,19 +200,22 @@ class _TokenizePartials:
                 {
                     "doc_id": doc_rep,
                     "term": pl.from_arrow(flat),
-                    "pos": pos,
+                    "pos": pos.astype(np.int32),
                 }
             )
             per_doc = (
                 df.group_by(["term", "doc_id"], maintain_order=True)
-                .agg(pl.len().alias("tf"), pl.col("pos").alias("positions"))
+                .agg(
+                    pl.len().cast(pl.Int32).alias("tf"),
+                    pl.col("pos").alias("positions"),  # already Int32
+                )
                 .sort(["term", "doc_id"])
                 .with_columns((pl.col("doc_id") // self.range_width).alias("bucket"))
             )
             partial = per_doc.group_by(["term", "bucket"], maintain_order=True).agg(
                 pl.col("doc_id").alias("doc_ids"),
                 pl.col("tf").alias("tfs"),
-                pl.col("positions").flatten().alias("pos"),
+                pl.col("positions").explode().alias("pos"),
             )
             tbl = partial.to_arrow()
             tbl = tbl.append_column(
@@ -183,6 +223,34 @@ class _TokenizePartials:
             )
             outs.append(
                 tbl.select(["field", "term", "bucket", "doc_ids", "tfs", "pos"])
+            )
+            # norms partial rows (reserved term; dl per doc, split per bucket)
+            nd, ndl, _ = sort_postings(doc_np, counts, None)
+            bks = nd // self.range_width
+            starts = np.flatnonzero(
+                np.concatenate([[True], bks[1:] != bks[:-1]])
+            )
+            ends = np.append(starts[1:], nd.size)
+            outs.append(
+                pa.table(
+                    {
+                        "field": pa.array([field] * starts.size, pa.string()),
+                        "term": pa.array([NORMS_TERM] * starts.size, pa.large_string()),
+                        "bucket": pa.array(bks[starts], pa.int64()),
+                        "doc_ids": pa.array(
+                            [nd[a:b].tolist() for a, b in zip(starts, ends)],
+                            pa.large_list(pa.int64()),
+                        ),
+                        "tfs": pa.array(
+                            [ndl[a:b].tolist() for a, b in zip(starts, ends)],
+                            pa.large_list(pa.int32()),
+                        ),
+                        "pos": pa.array(
+                            [[] for _ in range(starts.size)],
+                            pa.large_list(pa.int32()),
+                        ),
+                    }
+                )
             )
         if not outs:
             return pa.table(
@@ -198,31 +266,141 @@ class _TokenizePartials:
         return pa.concat_tables(outs, promote_options="permissive")
 
 
+class _TokenizeEncode(_TokenizePartials):
+    """Shuffle-free postings build (doc_partitioned layout): each batch emits its
+    *final* encoded posting rows, with ``bucket = min doc_id of the piece``.
+
+    Works because posting rows of one term only need to concatenate back in
+    doc-id order at read time — the reader doc-sorts on decode when pieces
+    interleave (rare). Hot terms are spread across every batch by construction,
+    so there is no skewed merge task and no all-to-all exchange at all; the only
+    cost is one posting row per (term, batch) instead of per (term, bucket).
+    A background compaction pass can later merge small pieces (future work)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        _limit_worker_threads()
+        doc_np = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_field, out_term, out_bucket = [], [], []
+        out_df, out_ttf, out_blocks = [], [], []
+        if doc_np.size == 0:
+            return self._empty_table()
+        for field in self.fields:
+            toks = arrow_tokenize(batch[field])
+            flat = toks.flatten()
+            n_tok = len(flat)
+            counts = pa.compute.list_value_length(toks).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            # norms ride along as a reserved-term posting row: every doc of the
+            # batch (dl=0 included), tfs = field length — no extra tokenize pass
+            nd, ndl, _ = sort_postings(doc_np, counts, None)
+            out_field.append(field)
+            out_term.append(NORMS_TERM)
+            out_bucket.append(int(nd[0]) if nd.size else 0)
+            out_df.append(int(nd.size))
+            out_ttf.append(int(ndl.sum()))
+            out_blocks.append(encode_postings(nd, ndl, None))
+            if n_tok == 0:
+                continue
+            offsets = np.zeros(counts.size + 1, dtype=np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            doc_rep = np.repeat(doc_np, counts)
+            pos = np.arange(n_tok, dtype=np.int64) - np.repeat(offsets[:-1], counts)
+
+            # dictionary-encode terms (C), map codes to sorted-term ranks, then one
+            # stable lexsort by (rank, doc) — token order inside a (term, doc) run
+            # stays ascending, so positions need no further sorting
+            denc = flat.dictionary_encode()
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            dict_terms = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+            term_order = np.argsort(dict_terms, kind="stable")
+            rank_of_code = np.empty(dict_terms.size, dtype=np.int64)
+            rank_of_code[term_order] = np.arange(dict_terms.size, dtype=np.int64)
+            ranks = rank_of_code[codes]
+            order = np.lexsort((doc_rep, ranks))
+            r_s, d_s, p_s = ranks[order], doc_rep[order], pos[order]
+
+            # run = one (term, doc); group = one (term, range-bucket)
+            newrun = np.empty(n_tok, dtype=bool)
+            newrun[0] = True
+            newrun[1:] = (r_s[1:] != r_s[:-1]) | (d_s[1:] != d_s[:-1])
+            run_starts = np.flatnonzero(newrun)
+            nruns = run_starts.size
+            run_tok_ends = np.append(run_starts[1:], n_tok)
+            tf = run_tok_ends - run_starts
+            run_docs = d_s[run_starts]
+            run_ranks = r_s[run_starts]
+            run_buckets = run_docs // self.range_width
+            newgrp = np.empty(nruns, dtype=bool)
+            newgrp[0] = True
+            newgrp[1:] = (run_ranks[1:] != run_ranks[:-1]) | (
+                run_buckets[1:] != run_buckets[:-1]
+            )
+            grp_starts = np.flatnonzero(newgrp)
+            grp_ends = np.append(grp_starts[1:], nruns)
+            for a, b in zip(grp_starts, grp_ends):
+                d = run_docs[a:b]
+                t = tf[a:b]
+                p = p_s[run_starts[a]: run_tok_ends[b - 1]]
+                out_field.append(field)
+                out_term.append(dict_terms[term_order[run_ranks[a]]])
+                out_bucket.append(int(d[0]))
+                out_df.append(int(d.size))
+                out_ttf.append(int(t.sum()))
+                out_blocks.append(encode_postings(d, t, p))
+        return pa.table(
+            {
+                "field": pa.array(out_field, pa.string()),
+                "term": pa.array(out_term, pa.string()),
+                "bucket": pa.array(out_bucket, pa.int64()),
+                "df": pa.array(out_df, pa.int64()),
+                "total_tf": pa.array(out_ttf, pa.int64()),
+                "blocks": pa.array(
+                    out_blocks,
+                    pa.list_(POSTINGS_SCHEMA.field("blocks").type.value_type),
+                ),
+            }
+        )
+
+    @staticmethod
+    def _empty_table() -> pa.Table:
+        return pa.table(
+            {
+                "field": pa.array([], pa.string()),
+                "term": pa.array([], pa.string()),
+                "bucket": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "total_tf": pa.array([], pa.int64()),
+                "blocks": pa.array(
+                    [], pa.list_(POSTINGS_SCHEMA.field("blocks").type.value_type)
+                ),
+            }
+        )
+
+
 def _encode_group(group: pa.Table) -> pa.Table:
     """Merge the partial rows of one (field, term, bucket) group and block-encode."""
     field = group["field"][0].as_py()
     term = group["term"][0].as_py()
     bucket = group["bucket"][0].as_py()
-    doc_lists = group["doc_ids"].to_pylist()
-    tf_lists = group["tfs"].to_pylist()
-    pos_lists = group["pos"].to_pylist()
-    doc_ids = np.concatenate([np.asarray(d, np.int64) for d in doc_lists])
-    tfs = np.concatenate([np.asarray(t, np.int64) for t in tf_lists])
-    pos = np.concatenate([np.asarray(p, np.int64) for p in pos_lists])
+    # zero-copy-ish: flatten the list columns straight to numpy (row order is
+    # preserved, which keeps the doc->positions alignment)
+    doc_ids = (
+        group["doc_ids"].combine_chunks().flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    tfs = (
+        group["tfs"].combine_chunks().flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    pos = (
+        group["pos"].combine_chunks().flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    )
     # partials are disjoint doc SETS but their ranges can interleave (a read batch
-    # may span non-adjacent blocks) -> full doc sort, with the ragged per-doc
-    # position slices gathered along
-    order = np.argsort(doc_ids, kind="stable")
-    if not (order == np.arange(order.size)).all():
-        starts = np.zeros(doc_ids.size, dtype=np.int64)
-        np.cumsum(tfs[:-1], out=starts[1:])
-        lens = tfs[order]
-        out_off = np.zeros(lens.size, dtype=np.int64)
-        np.cumsum(lens[:-1], out=out_off[1:])
-        gather = np.repeat(starts[order] - out_off, lens) + np.arange(int(lens.sum()))
-        pos = pos[gather]
-        doc_ids = doc_ids[order]
-        tfs = tfs[order]
+    # may span non-adjacent blocks) -> full doc sort with position gather
+    if term == NORMS_TERM:
+        doc_ids, tfs, _ = sort_postings(doc_ids, tfs, None)
+        pos = None
+    else:
+        doc_ids, tfs, pos = sort_postings(doc_ids, tfs, pos)
     blocks = encode_postings(doc_ids, tfs, pos)
     return pa.table(
         {
@@ -239,6 +417,31 @@ def _encode_group(group: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------------------
 # Orchestration
 # ---------------------------------------------------------------------------
+
+
+def _ensure_threadsafe_fs_imports() -> None:
+    """Ray's path resolution does ``from fsspec.implementations.http import
+    HTTPFileSystem`` on every read. Without aiohttp installed that import always
+    raises ModuleNotFoundError (which Ray catches) — but when two threads race
+    it, Python can surface a bare ImportError instead, which Ray does NOT catch.
+    Pre-install a stub module so the import resolves deterministically; the stub
+    class never matches any isinstance check."""
+    import sys
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        return
+    except ImportError:
+        pass
+    import types
+
+    stub = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # noqa: N801 - mirrors the real class name
+        pass
+
+    stub.HTTPFileSystem = HTTPFileSystem
+    sys.modules.setdefault("fsspec.implementations.http", stub)
 
 
 def _segment_dir(index_dir: str, seg: int) -> str:
@@ -265,17 +468,36 @@ def build_index(
     range_width: int = DEFAULT_RANGE_WIDTH,
     batch_size: Optional[int] = 4096,
     resume: bool = True,
+    layout: str = "doc_partitioned",
 ) -> dict:
     """Build (or resume building) an index over a transcripts Dataset.
 
     Returns the index meta dict. Re-running with ``resume=True`` skips segments
     whose manifest is complete — the checkpoint/resume contract of north_rule.
+
+    ``layout``:
+
+    * ``doc_partitioned`` (default) — each tokenize task emits final encoded
+      posting pieces for its doc range; NO all-to-all exchange. Hot terms are
+      spread across every piece by construction, eliminating both the shuffle
+      barrier and skewed merge tasks. Posting lists are piecewise; the reader
+      concatenates (and rarely re-sorts) on decode.
+    * ``term_partitioned`` — the classic groupby(field, term, bucket) shuffle
+      into one consolidated row per key (north_star's architecture); costs an
+      all-to-all over the postings volume but yields maximally compact lists.
     """
     import ray
     import ray.data
 
     os.makedirs(index_dir, exist_ok=True)
     t_start = time.time()
+    timing = os.environ.get("LR_BUILD_TIMING")
+
+    def _tick(label: str, t0: float) -> None:
+        if timing:
+            import sys
+
+            print(f"[build] {label}: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
 
     docmapped_root = os.path.join(index_dir, "docmapped")
     meta_path = os.path.join(index_dir, INDEX_META_FILE)
@@ -289,20 +511,24 @@ def build_index(
             import shutil
 
             shutil.rmtree(docmapped_root)
+        t0 = time.time()
         convs, bases, counts = _conv_offsets(ds)
+        _tick("conv_offsets", t0)
         total_docs = int(counts.sum())
         num_segments = max(1, min(num_segments, len(convs)))
         seg_target = -(-total_docs // num_segments)  # ceil
-        conv_map = {c: int(b) for c, b in zip(convs, bases)}
-        conv_map_ref = ray.put(conv_map)
+        conv_map_ref = ray.put(
+            pa.table({"conv_id": pa.array(convs, pa.string()), "base": pa.array(bases)})
+        )
         mapped = ds.map_batches(
-            _AssignDocIds,
-            fn_constructor_args=(conv_map_ref, seg_target, num_segments),
+            _assign_doc_ids,
+            fn_args=(conv_map_ref, seg_target, num_segments),
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=(1, 8),
         )
+        t0 = time.time()
         mapped.write_parquet(docmapped_root, partition_cols=["seg"])
+        _tick("docmap_write", t0)
         seg_bounds = {}
         seg_of_conv = np.minimum(bases // seg_target, num_segments - 1)
         for s in range(num_segments):
@@ -318,6 +544,7 @@ def build_index(
             "fields": list(fields),
             "num_segments": num_segments,
             "range_width": range_width,
+            "layout": layout,
             "total_docs": total_docs,
             "seg_bounds": seg_bounds,
             "analyzer": "lower+[a-z0-9]",
@@ -325,9 +552,14 @@ def build_index(
         with open(meta_path, "w") as f:
             json.dump(meta, f, indent=1)
 
-    for seg in range(meta["num_segments"]):
-        if resume and segment_complete(index_dir, seg):
-            continue
+    pending = [
+        seg
+        for seg in range(meta["num_segments"])
+        if not (resume and segment_complete(index_dir, seg))
+    ]
+
+    def _run(seg: int) -> None:
+        t0 = time.time()
         _build_segment(
             index_dir,
             seg,
@@ -336,7 +568,22 @@ def build_index(
             range_width=meta["range_width"],
             batch_size=batch_size,
             seg_bounds=meta["seg_bounds"][str(seg)],
+            layout=meta.get("layout", "term_partitioned"),
         )
+        _tick(f"segment {seg}", t0)
+
+    if len(pending) <= 1:
+        for seg in pending:
+            _run(seg)
+    else:
+        # overlap segment pipelines (separate Ray Data executions) so fixed
+        # per-execution latency hides behind other segments' compute; each
+        # segment still commits its own manifest -> checkpoint granularity kept
+        _ensure_threadsafe_fs_imports()
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(pending))) as ex:
+            list(ex.map(_run, pending))
 
     meta["build_seconds"] = round(time.time() - t_start, 3)
     return meta
@@ -351,6 +598,7 @@ def _build_segment(
     range_width: int,
     batch_size: Optional[int],
     seg_bounds: List[int],
+    layout: str = "doc_partitioned",
 ) -> None:
     import ray.data
     from ray.data.aggregate import Sum
@@ -371,40 +619,51 @@ def _build_segment(
 
     src = ray.data.read_parquet(seg_input, columns=["doc_id", *fields])
 
-    # -- norms + stats --
-    norms_path = os.path.join(seg_dir, "norms.parquet")
-    src.map_batches(
-        _make_norms_fn(fields), batch_format="pyarrow", batch_size=batch_size
-    ).write_parquet(norms_path)
-    norms_ds = ray.data.read_parquet(norms_path)
-    sums = norms_ds.aggregate(*[Sum(f"dl_{f}") for f in fields])
-    n_docs = norms_ds.count()
-    stats = {
-        "segment": seg,
-        "doc_base": lo,
-        "doc_count": n_docs,
-        "fields": {
-            f: {"total_dl": int(sums[f"sum(dl_{f})"] or 0)} for f in fields
-        },
-    }
-    with open(os.path.join(seg_dir, "stats.json"), "w") as f:
-        json.dump(stats, f, indent=1)
-
-    # -- postings: tokenize partials -> groupby shuffle -> encode -> sorted parquet --
+    # -- postings: tokenize partials -> groupby shuffle -> encode -> parquet.
+    # No extra sort: the sort-based groupby shuffle already emits key-clustered
+    # blocks, and term lookups use row-group predicate pushdown either way --
     postings_path = os.path.join(seg_dir, "postings.parquet")
-    partials = src.map_batches(
-        _TokenizePartials(fields, range_width),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-    )
-    postings = (
-        partials.groupby(["field", "term", "bucket"])
-        .map_groups(_encode_group, batch_format="pyarrow")
-        .sort(["field", "term", "bucket"])
-    )
+    if layout == "doc_partitioned":
+        postings = src.map_batches(
+            _TokenizeEncode(fields, range_width),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    else:
+        partials = src.map_batches(
+            _TokenizePartials(fields, range_width),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+        postings = partials.groupby(["field", "term", "bucket"]).map_groups(
+            _encode_group, batch_format="pyarrow"
+        )
     postings.write_parquet(postings_path)
 
-    n_terms = ray.data.read_parquet(postings_path, columns=["term"]).count()
+    # -- stats from the norms pseudo-term rows (no extra pass over the input) --
+    norm_rows = pq.read_table(
+        postings_path,
+        columns=["field", "df", "total_tf"],
+        filters=[("term", "==", NORMS_TERM)],
+    )
+    stats = {"segment": seg, "doc_base": lo, "doc_count": 0, "fields": {}}
+    for f in fields:
+        mask = pa.compute.equal(norm_rows["field"], f)
+        sub = norm_rows.filter(mask)
+        n_docs_f = int(pa.compute.sum(sub["df"]).as_py() or 0)
+        stats["fields"][f] = {
+            "total_dl": int(pa.compute.sum(sub["total_tf"]).as_py() or 0)
+        }
+        stats["doc_count"] = max(stats["doc_count"], n_docs_f)
+    n_docs = stats["doc_count"]
+    with open(os.path.join(seg_dir, "stats.json"), "w") as fh:
+        json.dump(stats, fh, indent=1)
+
+    n_terms = sum(
+        pq.read_metadata(os.path.join(postings_path, f)).num_rows
+        for f in os.listdir(postings_path)
+        if f.endswith(".parquet")
+    )
     _write_manifest(index_dir, seg, seg_input, n_docs, n_terms, fields)
 
 

@@ -46,12 +46,11 @@ POSTINGS_SCHEMA = pa.schema(
 )
 
 
-def encode_varints(values: np.ndarray) -> bytes:
-    """LEB128-style varint encoding of a non-negative integer array, vectorized."""
+def _encode_varints_np(values: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized LEB128 varint encode -> (byte array, bytes-per-value)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
-    # bytes needed per value: 1 + floor(bits/7)
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     nbytes = np.ones(v.size, dtype=np.int64)
     tmp = v >> np.uint64(7)
     while tmp.any():
@@ -67,6 +66,12 @@ def encode_varints(values: np.ndarray) -> bytes:
         chunk = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nbytes[mask] > j + 1).astype(np.uint8) << 7
         out[starts[mask] + j] = chunk | cont
+    return out, nbytes
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """LEB128-style varint encoding of a non-negative integer array, vectorized."""
+    out, _ = _encode_varints_np(values)
     return out.tobytes()
 
 
@@ -114,38 +119,84 @@ def delta_decode(deltas: np.ndarray, seg_starts: Optional[np.ndarray] = None,
     return c - np.repeat(prior, seg_lengths)
 
 
+def sort_postings(
+    doc_ids: np.ndarray, tfs: np.ndarray, pos: Optional[np.ndarray]
+) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """Doc-sort a postings triple, gathering the ragged per-doc position slices
+    along (no-op when already sorted)."""
+    order = np.argsort(doc_ids, kind="stable")
+    if (order == np.arange(order.size)).all():
+        return doc_ids, tfs, pos
+    if pos is not None:
+        starts = np.zeros(doc_ids.size, dtype=np.int64)
+        np.cumsum(tfs[:-1], out=starts[1:])
+        lens = tfs[order]
+        out_off = np.zeros(lens.size, dtype=np.int64)
+        np.cumsum(lens[:-1], out=out_off[1:])
+        gather = np.repeat(starts[order] - out_off, lens) + np.arange(
+            int(lens.sum()), dtype=np.int64
+        )
+        pos = pos[gather]
+    return doc_ids[order], tfs[order], pos
+
+
 def encode_postings(
     doc_ids: np.ndarray, tfs: np.ndarray, positions: Optional[np.ndarray]
 ) -> List[dict]:
     """doc-sorted postings -> list of block dicts matching :data:`BLOCK_STRUCT`.
 
     ``positions`` is the flat concatenation of per-document position lists; the
-    per-document counts are exactly ``tfs``.
+    per-document counts are exactly ``tfs``. All heavy work is one vectorized
+    varint pass per column over the WHOLE list; blocks are byte-slices of it
+    (no per-block numpy calls — they dominated profile at small block counts).
     """
-    n = doc_ids.size
-    blocks: List[dict] = []
-    pos_offsets = None
+    n = int(doc_ids.size)
+    if n == 0:
+        return []
+    block_starts = np.arange(0, n, BLOCK_SIZE, dtype=np.int64)
+    nblocks = block_starts.size
+    block_ends = np.minimum(block_starts + BLOCK_SIZE, n)
+
+    doc_deltas = delta_encode(doc_ids, block_starts)
+    doc_bytes, doc_len = _encode_varints_np(doc_deltas)
+    doc_boff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(doc_len, out=doc_boff[1:])
+
+    tf_bytes, tf_len = _encode_varints_np(tfs)
+    tf_boff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tf_len, out=tf_boff[1:])
+
+    # per-block max_tf without a Python loop
+    max_tf = np.maximum.reduceat(tfs, block_starts)
+
+    pos_bytes = pos_boff = pos_offsets = None
     if positions is not None:
         pos_offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(tfs, out=pos_offsets[1:])
-    for b0 in range(0, n, BLOCK_SIZE):
-        b1 = min(b0 + BLOCK_SIZE, n)
-        d = doc_ids[b0:b1]
-        t = tfs[b0:b1]
+        doc_starts = pos_offsets[:-1]
+        pos_deltas = delta_encode(positions, doc_starts)
+        pos_bytes, pos_len = _encode_varints_np(pos_deltas)
+        pos_boff = np.zeros(positions.size + 1, dtype=np.int64)
+        np.cumsum(pos_len, out=pos_boff[1:])
+
+    doc_mem = doc_bytes.tobytes()
+    tf_mem = tf_bytes.tobytes()
+    pos_mem = pos_bytes.tobytes() if pos_bytes is not None else b""
+    blocks: List[dict] = []
+    for bi in range(nblocks):
+        b0, b1 = int(block_starts[bi]), int(block_ends[bi])
         block = {
-            "n": int(b1 - b0),
-            "max_tf": int(t.max()),
-            "first_doc": int(d[0]),
-            "last_doc": int(d[-1]),
-            "docs": encode_varints(delta_encode(d)),
-            "tfs": encode_varints(t),
+            "n": b1 - b0,
+            "max_tf": int(max_tf[bi]),
+            "first_doc": int(doc_ids[b0]),
+            "last_doc": int(doc_ids[b1 - 1]),
+            "docs": doc_mem[doc_boff[b0]: doc_boff[b1]],
+            "tfs": tf_mem[tf_boff[b0]: tf_boff[b1]],
             "pos": b"",
         }
         if positions is not None:
             p0, p1 = int(pos_offsets[b0]), int(pos_offsets[b1])
-            flat = positions[p0:p1]
-            seg_starts = (pos_offsets[b0:b1] - p0).astype(np.int64)
-            block["pos"] = encode_varints(delta_encode(flat, seg_starts))
+            block["pos"] = pos_mem[pos_boff[p0]: pos_boff[p1]]
         blocks.append(block)
     return blocks
 
@@ -153,22 +204,26 @@ def encode_postings(
 def decode_postings(
     blocks, want_positions: bool = False
 ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
-    """blocks (sequence of dict-likes) -> (doc_ids, tfs, flat_positions|None)."""
-    doc_parts, tf_parts, pos_parts = [], [], []
-    for blk in blocks:
-        d = delta_decode(decode_varints(blk["docs"]))
-        t = decode_varints(blk["tfs"])
-        doc_parts.append(d)
-        tf_parts.append(t)
-        if want_positions:
-            starts = np.zeros(t.size, dtype=np.int64)
-            np.cumsum(t[:-1], out=starts[1:])
-            pos_parts.append(
-                delta_decode(decode_varints(blk["pos"]), starts, t.astype(np.int64))
-            )
-    doc_ids = np.concatenate(doc_parts) if doc_parts else np.empty(0, np.int64)
-    tfs = np.concatenate(tf_parts) if tf_parts else np.empty(0, np.int64)
+    """blocks (sequence of dict-likes) -> (doc_ids, tfs, flat_positions|None).
+
+    One vectorized varint pass per column over the concatenated block payloads
+    (the per-block loop only joins bytes)."""
+    if not blocks:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, np.int64) if want_positions else None,
+        )
+    ns = np.fromiter((blk["n"] for blk in blocks), dtype=np.int64, count=len(blocks))
+    block_starts = np.zeros(ns.size, dtype=np.int64)
+    np.cumsum(ns[:-1], out=block_starts[1:])
+    doc_deltas = decode_varints(b"".join(blk["docs"] for blk in blocks))
+    doc_ids = delta_decode(doc_deltas, block_starts, ns)
+    tfs = decode_varints(b"".join(blk["tfs"] for blk in blocks))
     pos = None
     if want_positions:
-        pos = np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64)
+        doc_pos_starts = np.zeros(tfs.size, dtype=np.int64)
+        np.cumsum(tfs[:-1], out=doc_pos_starts[1:])
+        pos_deltas = decode_varints(b"".join(blk["pos"] for blk in blocks))
+        pos = delta_decode(pos_deltas, doc_pos_starts, tfs.astype(np.int64))
     return doc_ids, tfs, pos

@@ -4,10 +4,10 @@ per-field term-dictionary caching.
 A segment is a contiguous doc-id range built by ``build.py``::
 
     seg-00000/
-      postings.parquet/   # rows (field, term, bucket, df, total_tf, blocks), sorted
-      norms.parquet/      # rows (doc_id, dl_<field>...)
+      postings.parquet/   # rows (field, term, bucket, df, total_tf, blocks)
       stats.json          # doc_base, doc_count, per-field total_dl
       MANIFEST.json       # lineage + completion marker (checkpoint/resume unit)
+    (norms = dl_* columns fused into the docmapped segment input)
 
 Readers hold numpy norms arrays indexed by ``doc_id - doc_base`` (loaded once —
 designed to be pinned inside long-lived scorer actors) and fetch postings by
@@ -28,7 +28,8 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
-from .codec import decode_postings
+from .build import NORMS_TERM
+from .codec import decode_postings, sort_postings
 
 
 class SegmentReader:
@@ -67,19 +68,22 @@ class SegmentReader:
         return self._norms[field]
 
     def _load_norms(self) -> None:
+        """Norms are stored as reserved-term posting rows (doc_ids=all docs,
+        tfs=field length) — loaded once and pinned."""
         self._norms = {}
         if self.empty:
             return
-        t = pq.read_table(os.path.join(self.seg_dir, "norms.parquet"))
-        order = pc.sort_indices(t["doc_id"])
-        t = t.take(order)
-        doc_ids = t["doc_id"].to_numpy()
-        expected = np.arange(self.doc_base, self.doc_base + self.doc_count)
-        if doc_ids.size != expected.size or not (doc_ids == expected).all():
-            raise ValueError(f"norms of {self.seg_dir} are not doc-contiguous")
-        for name in t.schema.names:
-            if name.startswith("dl_"):
-                self._norms[name[3:]] = t[name].to_numpy().astype(np.int64)
+        for field in self.manifest.get("fields", []):
+            got = self.postings_many(field, [NORMS_TERM])
+            if NORMS_TERM not in got:
+                raise ValueError(f"{self.seg_dir}: norms rows missing for {field}")
+            docs, dls, _ = got[NORMS_TERM]
+            expected = np.arange(self.doc_base, self.doc_base + self.doc_count)
+            if docs.size != expected.size or not (docs == expected).all():
+                raise ValueError(
+                    f"norms of {self.seg_dir}/{field} are not doc-contiguous"
+                )
+            self._norms[field] = dls.astype(np.int64)
 
     # ---- term dictionary ----
 
@@ -95,7 +99,7 @@ class SegmentReader:
                 t = pq.read_table(
                     os.path.join(self.seg_dir, "postings.parquet"),
                     columns=["field", "term", "df"],
-                    filters=[("field", "==", field)],
+                    filters=[("field", "==", field), ("term", "!=", NORMS_TERM)],
                 )
                 g = t.group_by("term").aggregate([("df", "sum")])
                 order = pc.sort_indices(g["term"])
@@ -169,7 +173,11 @@ class SegmentReader:
             while j < len(terms_np) and terms_np[j] == terms_np[i]:
                 blocks.extend(blocks_col[j])
                 j += 1
-            out[terms_np[i]] = decode_postings(blocks, want_positions)
+            docs, tfs, pos = decode_postings(blocks, want_positions)
+            if docs.size > 1 and (np.diff(docs) <= 0).any():
+                # doc_partitioned pieces can interleave ranges; restore doc order
+                docs, tfs, pos = sort_postings(docs, tfs, pos)
+            out[terms_np[i]] = (docs, tfs, pos)
             i = j
         return out
 

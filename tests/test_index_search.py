@@ -136,6 +136,20 @@ def test_per_turn_text_equality_invariant(built):
     assert mapped["doc_id"].to_pylist() == list(range(N_TURNS))
 
 
+def test_term_partitioned_layout_matches(built, oracle, tmp_path):
+    """The groupby-shuffle layout must produce identical search results."""
+    data_dir, _, _ = built
+    ds = T.read_transcripts(data_dir)
+    index_dir = str(tmp_path / "tp_index")
+    build_index(
+        ds, index_dir, num_segments=2, range_width=256, batch_size=400,
+        layout="term_partitioned",
+    )
+    engine = SearchEngine(index_dir, parallel=False)
+    for qs in QUERY_SET[::5]:
+        _compare(engine, oracle, qs)
+
+
 def test_resume_skips_complete_segments_and_rebuilds_missing(built, oracle):
     data_dir, index_dir, _ = built
     ds = T.read_transcripts(data_dir)
