@@ -143,7 +143,8 @@ def run_bench(num_cpus: int, turns: int, sf_dir: str) -> dict:
         run_search(sf_dir, "join AND hash", k=10)
         results["sf_index_and_query_sec"] = round(time.perf_counter() - t0, 3)
 
-    # -- 4. parser microbench (JMH harness parity: 10/1000-term OR inputs) --
+    # -- 4. parser microbench (JMH harness parity: QueryParserBenchmark /
+    # MapLastTermBenchmark inputs from the reference) --
     q10 = " OR ".join(f"t{i}" for i in range(10))
     q1000 = " OR ".join(f"t{i}" for i in range(1000))
     for name, q in (("parse10", q10), ("parse1000", q1000)):
@@ -152,7 +153,23 @@ def run_bench(num_cpus: int, turns: int, sf_dir: str) -> dict:
         for _ in range(n):
             parse(q)
         results[f"{name}_ms"] = round((time.perf_counter() - t0) / n * 1000, 3)
-    log(f"[bench] parse10={results['parse10_ms']}ms parse1000={results['parse1000_ms']}ms")
+    # 88 incremental search-as-you-type queries + rewrite of the last term
+    from lucille_ray.query import Or, Prefix, Term
+
+    sentence = (
+        "this is a long query that will be broken up into one query per "
+        "character in this string"
+    )
+    partials = [parse(sentence[:i]) for i in range(1, len(sentence) + 1)
+                if sentence[:i].strip()]
+    rewrite = lambda t: Or(t, Prefix(t.value))  # noqa: E731
+    t0 = time.perf_counter()
+    for _ in range(50):
+        for q in partials:
+            q.map_last_term(rewrite)
+    results["map_last_term_88_ms"] = round((time.perf_counter() - t0) / 50 * 1000, 3)
+    log(f"[bench] parse10={results['parse10_ms']}ms parse1000={results['parse1000_ms']}ms "
+        f"mlt88={results['map_last_term_88_ms']}ms")
 
     ray.shutdown()
     return results

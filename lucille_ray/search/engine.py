@@ -250,6 +250,16 @@ class SearchEngine:
         docs, scores = top_k(docs, scores, k)
         return self._to_table(docs, scores, with_meta)
 
+    def suggest(self, query: QueryLike, k: int = 10, *, with_meta: bool = True) -> pa.Table:
+        """Search-as-you-type: rewrite the last positional Term into
+        ``Term OR Prefix`` (the reference's mapLastTerm use case,
+        docs/index.md:67-96) and search the expanded query."""
+        q = parse(query) if isinstance(query, str) else query
+        expanded = q.map_last_term(
+            lambda t: qn.Or(qn.Term(t.value), qn.Prefix(t.value))
+        )
+        return self.search(expanded, k, with_meta=with_meta)
+
     def search_many(
         self, queries: Sequence[QueryLike], k: int = 10
     ) -> List[Tuple[np.ndarray, np.ndarray]]:

@@ -136,6 +136,20 @@ def test_per_turn_text_equality_invariant(built):
     assert mapped["doc_id"].to_pylist() == list(range(N_TURNS))
 
 
+def test_suggest_search_as_you_type(built, oracle):
+    """suggest() == search of the mapLastTerm-expanded AST (Term -> Term OR Prefix)."""
+    from lucille_ray.query import Or, Prefix, Term, parse as parse_q
+
+    engine = SearchEngine(built[1], parallel=False)
+    got = engine.suggest("data AND depl", k=10, with_meta=False)
+    expanded = parse_q("data AND depl").map_last_term(
+        lambda t: Or(Term(t.value), Prefix(t.value))
+    )
+    exp = oracle.search(expanded, k=10)
+    assert got["doc_id"].to_pylist() == [d for d, _ in exp]
+    assert len(exp) > 0  # 'depl' alone matches nothing; the prefix expansion must
+
+
 def test_term_partitioned_layout_matches(built, oracle, tmp_path):
     """The groupby-shuffle layout must produce identical search results."""
     data_dir, _, _ = built
