@@ -112,7 +112,13 @@ def run_bench(num_cpus: int, turns: int, sf_dir: str) -> dict:
         ray.shutdown()
         return results
 
-    # -- 2. query latency over the pinned actor-pool engine --
+    # -- 2. query latency over the pinned actor-pool engine (on the compacted
+    # index: piecewise build output is write-optimized, compaction serves) --
+    from lucille_ray.index import compact_index
+
+    t0 = time.perf_counter()
+    compact_index(index_dir)
+    results["compact_sec"] = round(time.perf_counter() - t0, 3)
     engine = SearchEngine(index_dir, parallel=True)
     engine.search("data", k=10, with_meta=False)  # warm actors
     lat = []

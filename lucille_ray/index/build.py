@@ -80,6 +80,8 @@ def _limit_worker_threads() -> None:
 
 INDEX_META_FILE = "index_meta.json"
 MANIFEST_FILE = "MANIFEST.json"
+#: bump on storage-layout changes; readers refuse older indexes with a clear error
+INDEX_FORMAT_VERSION = 2  # v2: norms stored as reserved-term posting rows
 
 
 # ---------------------------------------------------------------------------
@@ -540,7 +542,7 @@ def build_index(
                 lo = hi = 0
             seg_bounds[str(s)] = [lo, hi]
         meta = {
-            "version": 1,
+            "version": INDEX_FORMAT_VERSION,
             "fields": list(fields),
             "num_segments": num_segments,
             "range_width": range_width,
@@ -638,7 +640,10 @@ def _build_segment(
         postings = partials.groupby(["field", "term", "bucket"]).map_groups(
             _encode_group, batch_format="pyarrow"
         )
-    postings.write_parquet(postings_path)
+    # small row groups + term-sorted rows within each file => parquet min/max
+    # stats actually prune term lookups (one row group otherwise spans the whole
+    # term range and every lookup decodes the entire blocks column)
+    postings.write_parquet(postings_path, max_rows_per_file=64)
 
     # -- stats from the norms pseudo-term rows (no extra pass over the input) --
     norm_rows = pq.read_table(

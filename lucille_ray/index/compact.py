@@ -1,0 +1,89 @@
+"""Segment compaction: merge the per-batch posting *pieces* written by the
+shuffle-free ``doc_partitioned`` build into one consolidated row per
+``(field, term)``.
+
+This gives the best of both worlds at scale: the build streams with zero
+all-to-all, then compaction — a ``groupby(field, term)`` over the already
+block-compressed postings (a small fraction of input volume) — restores the
+read-optimal layout of the ``term_partitioned`` path. Compaction is optional,
+idempotent (atomic directory swap), and per-segment resumable like the build.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .build import INDEX_META_FILE, MANIFEST_FILE, NORMS_TERM, _limit_worker_threads
+from .codec import POSTINGS_SCHEMA, decode_postings, encode_postings, sort_postings
+
+
+def _merge_pieces(group: pa.Table) -> pa.Table:
+    """All piece rows of one (field, term) -> one consolidated row."""
+    _limit_worker_threads()
+    field = group["field"][0].as_py()
+    term = group["term"][0].as_py()
+    want_pos = term != NORMS_TERM
+    blocks = []
+    for row_blocks in group["blocks"].to_pylist():
+        blocks.extend(row_blocks)
+    docs, tfs, pos = decode_postings(blocks, want_positions=want_pos)
+    docs, tfs, pos = sort_postings(docs, tfs, pos)
+    merged = encode_postings(docs, tfs, pos)
+    return pa.table(
+        {
+            "field": pa.array([field], pa.string()),
+            "term": pa.array([term], pa.string()),
+            "bucket": pa.array([int(docs[0]) if docs.size else 0], pa.int64()),
+            "df": pa.array([int(docs.size)], pa.int64()),
+            "total_tf": pa.array([int(tfs.sum())], pa.int64()),
+            "blocks": pa.array(
+                [merged], pa.list_(POSTINGS_SCHEMA.field("blocks").type.value_type)
+            ),
+        }
+    )
+
+
+def compact_index(index_dir: str, *, resume: bool = True) -> None:
+    """Compact every segment's postings in place (atomic swap per segment)."""
+    import ray.data
+
+    seg_root = os.path.join(index_dir, "segments")
+    for name in sorted(os.listdir(seg_root)):
+        seg_dir = os.path.join(seg_root, name)
+        manifest_path = os.path.join(seg_dir, MANIFEST_FILE)
+        if not os.path.isfile(manifest_path):
+            continue
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        if manifest.get("empty") or (resume and manifest.get("compacted")):
+            continue
+        postings_path = os.path.join(seg_dir, "postings.parquet")
+        tmp_path = postings_path + ".compact"
+        shutil.rmtree(tmp_path, ignore_errors=True)
+        ds = ray.data.read_parquet(postings_path)
+        ds.groupby(["field", "term"]).map_groups(
+            _merge_pieces, batch_format="pyarrow"
+        ).write_parquet(tmp_path, max_rows_per_file=64)
+        # atomic publish: old dir moves aside, tmp takes its place
+        bak = postings_path + ".bak"
+        shutil.rmtree(bak, ignore_errors=True)
+        os.rename(postings_path, bak)
+        os.rename(tmp_path, postings_path)
+        shutil.rmtree(bak)
+        manifest["compacted"] = True
+        manifest["posting_rows"] = sum(
+            pq.read_metadata(os.path.join(postings_path, f)).num_rows
+            for f in os.listdir(postings_path)
+            if f.endswith(".parquet")
+        )
+        tmp_mf = manifest_path + ".tmp"
+        with open(tmp_mf, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp_mf, manifest_path)

@@ -125,10 +125,19 @@ class SegmentReader:
     # ---- postings ----
 
     def postings_many(
-        self, field: str, terms: Sequence[str], want_positions: bool = False
+        self,
+        field: str,
+        terms: Sequence[str],
+        want_positions: bool = False,
+        candidates: Optional[np.ndarray] = None,
     ) -> Dict[str, Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]]:
         """Decode postings for many terms in one predicate-pushdown read; decoded
-        lists are cached across queries (the readers live in pinned actors)."""
+        lists are cached across queries (the readers live in pinned actors).
+
+        ``candidates`` (a sorted doc-id array) enables exact conjunctive block
+        pruning: blocks whose [first_doc, last_doc] range contains no candidate
+        are skipped *before* decode (the block-max metadata's range half).
+        Pruned results are not cached."""
         if self.empty or not terms:
             return {}
         out: Dict[str, Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]] = {}
@@ -141,16 +150,21 @@ class SegmentReader:
                 missing.append(term)
         if not missing:
             return out
-        fetched = self._postings_read(field, missing, want_positions)
-        for term, val in fetched.items():
-            self._post_cache[(field, term, want_positions)] = val
-            while len(self._post_cache) > self._post_cache_cap:
-                self._post_cache.popitem(last=False)
+        fetched = self._postings_read(field, missing, want_positions, candidates)
+        if candidates is None:
+            for term, val in fetched.items():
+                self._post_cache[(field, term, want_positions)] = val
+                while len(self._post_cache) > self._post_cache_cap:
+                    self._post_cache.popitem(last=False)
         out.update(fetched)
         return out
 
     def _postings_read(
-        self, field: str, terms: Sequence[str], want_positions: bool
+        self,
+        field: str,
+        terms: Sequence[str],
+        want_positions: bool,
+        candidates: Optional[np.ndarray] = None,
     ) -> Dict[str, Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]]:
         t = pq.read_table(
             os.path.join(self.seg_dir, "postings.parquet"),
@@ -173,6 +187,8 @@ class SegmentReader:
             while j < len(terms_np) and terms_np[j] == terms_np[i]:
                 blocks.extend(blocks_col[j])
                 j += 1
+            if candidates is not None and blocks:
+                blocks = _prune_blocks(blocks, candidates)
             docs, tfs, pos = decode_postings(blocks, want_positions)
             if docs.size > 1 and (np.diff(docs) <= 0).any():
                 # doc_partitioned pieces can interleave ranges; restore doc order
@@ -195,6 +211,16 @@ class SegmentReader:
         return ds.to_table(
             columns=cols, filter=pads.field("doc_id").isin(pa.array(doc_ids))
         )
+
+
+def _prune_blocks(blocks: List[dict], candidates: np.ndarray) -> List[dict]:
+    """Keep only blocks whose doc range overlaps at least one candidate doc."""
+    firsts = np.fromiter((b["first_doc"] for b in blocks), np.int64, len(blocks))
+    lasts = np.fromiter((b["last_doc"] for b in blocks), np.int64, len(blocks))
+    lo = np.searchsorted(candidates, firsts, side="left")
+    hi = np.searchsorted(candidates, lasts, side="right")
+    keep = hi > lo
+    return [b for b, k in zip(blocks, keep) if k]
 
 
 def load_segments(index_dir: str) -> List[SegmentReader]:

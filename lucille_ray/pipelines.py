@@ -54,10 +54,13 @@ def engine_for(sf_dir: str) -> SearchEngine:
     transcripts; doc_id equals documents.doc_id by construction."""
     eng = _ENGINES.get(sf_dir)
     if eng is None:
+        from .index import compact_index
+
         tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
         index_dir = os.path.join(CACHE_ROOT, f"idx-{tag}")
         ds = derive_from_documents(sf_dir)
         build_index(ds, index_dir, num_segments=2, batch_size=8192, resume=True)
+        compact_index(index_dir)  # flush-then-merge: piecewise build, compact serve
         eng = SearchEngine(index_dir, parallel=False)
         _ENGINES[sf_dir] = eng
     return eng

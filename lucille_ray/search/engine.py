@@ -99,7 +99,7 @@ class SegmentScorer:
         for r in self.readers:
             if r.doc_count == 0:
                 continue
-            ev = SegmentEval(r, ctx, reqs)
+            ev = SegmentEval(r, ctx, reqs, query=query)
             docs, scores = ev.eval(query)
             if docs.size:
                 d, s = top_k(docs, scores, k)
@@ -148,6 +148,13 @@ class SearchEngine:
         self.index_dir = index_dir
         with open(os.path.join(index_dir, INDEX_META_FILE)) as f:
             self.meta = json.load(f)
+        from ..index.build import INDEX_FORMAT_VERSION
+
+        if self.meta.get("version") != INDEX_FORMAT_VERSION:
+            raise ValueError(
+                f"index {index_dir} has format version {self.meta.get('version')}; "
+                f"this engine reads version {INDEX_FORMAT_VERSION} — rebuild the index"
+            )
         seg_root = os.path.join(index_dir, "segments")
         self.seg_dirs = [
             os.path.join(seg_root, n)

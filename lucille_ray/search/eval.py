@@ -186,20 +186,74 @@ class EvalContext:
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
 
+def simple_term_of(
+    q: qn.Query, field: str, boost: float = 1.0
+) -> Optional[Tuple[str, str, float]]:
+    """(field, term, boost) when q is a plain single-token term (possibly wrapped
+    in Group/Field/Boost), else None — the shape eligible for conjunctive
+    block-range pruning."""
+    if isinstance(q, qn.Term):
+        toks = tokenize(q.value)
+        if len(toks) == 1:
+            return (field, toks[0], boost)
+        return None
+    if isinstance(q, qn.Field):
+        return simple_term_of(q.q, q.field, boost)
+    if isinstance(q, qn.Group):
+        return simple_term_of(q.q, field, boost)
+    if isinstance(q, qn.Boost):
+        return simple_term_of(q.q, field, boost * float(q.weight))
+    return None
+
+
+def _conjunctive_prune_plan(q: qn.Query, ctx: "EvalContext") -> Set[Tuple[str, str]]:
+    """Exact-term keys to EXCLUDE from eager prefetch because the root-level
+    conjunction will fetch them lazily with candidate block pruning."""
+    field = DEFAULT_FIELD
+    while isinstance(q, (qn.Group, qn.Field, qn.Boost)):
+        if isinstance(q, qn.Field):
+            field = q.field
+        q = q.q
+    if not isinstance(q, qn.And):
+        return set()
+    simples = []
+    for c in q.qs:
+        if isinstance(c, (qn.Not, qn.UnaryMinus, qn.UnaryPlus)):
+            continue  # evaluated eagerly; keep their terms prefetched
+        s = simple_term_of(c, field)
+        if s is None:
+            return set()  # mixed shapes: prefetch everything
+        simples.append(s)
+    if len(simples) < 2:
+        return set()
+    dfs = [ctx.df.get((f, t), 0) for f, t, _ in simples]
+    anchor = int(np.argmin(dfs))
+    return {(f, t) for i, (f, t, _b) in enumerate(simples) if i != anchor}
+
+
 class SegmentEval:
     """Evaluates one AST against one segment with prefetched postings."""
 
-    def __init__(self, reader, ctx: EvalContext, reqs: TermRequests):
+    def __init__(
+        self,
+        reader,
+        ctx: EvalContext,
+        reqs: TermRequests,
+        query: Optional[qn.Query] = None,
+    ):
         self.reader = reader
         self.ctx = ctx
         self._cache: Dict[Tuple[str, str], tuple] = {}
         self._offset_cache: Dict[Tuple[str, str], np.ndarray] = {}
+        self._lazy = _conjunctive_prune_plan(query, ctx) if query is not None else set()
         self._prefetch(reqs)
 
     def _prefetch(self, reqs: TermRequests) -> None:
         by_field: Dict[str, Set[str]] = {}
         pos_fields: Dict[str, Set[str]] = {}
         for f, t in reqs.exact:
+            if (f, t) in self._lazy:
+                continue  # fetched later with candidate block pruning
             by_field.setdefault(f, set()).add(t)
         for f, t in reqs.positional:
             pos_fields.setdefault(f, set()).add(t)
@@ -232,10 +286,15 @@ class SegmentEval:
         denom = tf + K1 * (1.0 - B + B * dl / avgdl)
         return idf * tf * (K1 + 1.0) / denom
 
-    def _term(self, field: str, term: str) -> Tuple[np.ndarray, np.ndarray]:
+    def _term(
+        self, field: str, term: str, candidates: Optional[np.ndarray] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
         post = self._cache.get((field, term))
         if post is None:
-            post = self.reader.postings(field, term) or (EMPTY[0], EMPTY[0], None)
+            got = self.reader.postings_many(
+                field, [term], want_positions=False, candidates=candidates
+            )
+            post = got.get(term, (EMPTY[0], EMPTY[0], None))
             self._cache[(field, term)] = post
         docs, tfs, _ = post
         if docs.size == 0:
@@ -380,10 +439,13 @@ class SegmentEval:
 
     def _bool(self, qs, field, conjunctive: bool):
         must, should_nodes, must_not = self._split_clauses(qs, field)
-        should = [self.eval(c, field) for c, _ in should_nodes]
         if conjunctive:
-            must = must + should
             should = []
+            must = must + self._eval_conjunctive(should_nodes, field, must)
+            if must and any(m[0].size == 0 for m in must):
+                return EMPTY
+        else:
+            should = [self.eval(c, field) for c, _ in should_nodes]
         if not must and not should:
             return EMPTY  # pure negative
         if must:
@@ -408,6 +470,34 @@ class SegmentEval:
                 return EMPTY
             docs, scores, _ = _union(live)
         return self._apply_must_not(docs, scores, must_not)
+
+    def _eval_conjunctive(self, should_nodes, field, prior_must):
+        """Evaluate conjunctive children; when all are simple terms, fetch them in
+        ascending-df order with candidate block pruning (exact: pruned blocks
+        contain no doc that could satisfy the conjunction)."""
+        if not should_nodes:
+            return []
+        simples = [simple_term_of(c, field) for c, _ in should_nodes]
+        if any(s is None for s in simples) or len(simples) + len(prior_must) < 2:
+            return [self.eval(c, field) for c, _ in should_nodes]
+        dfs = [self.ctx.df.get((f, t), 0) for f, t, _ in simples]
+        if min(dfs) == 0:
+            return [(EMPTY[0], EMPTY[1])]  # a required term is absent anywhere
+        order = np.argsort(dfs, kind="stable")
+        cand = prior_must[0][0] if prior_must else None
+        results: List[Optional[tuple]] = [None] * len(simples)
+        for i in order:
+            f, t, boost = simples[i]
+            docs, scores = self._term(f, t, candidates=cand)
+            if boost != 1.0:
+                scores = scores * boost
+            results[i] = (docs, scores)
+            if docs.size == 0:
+                return [(EMPTY[0], EMPTY[1])]
+            cand = docs if cand is None else np.intersect1d(cand, docs, assume_unique=True)
+            if cand.size == 0:
+                return [(EMPTY[0], EMPTY[1])]
+        return results
 
     def _minimum_match(self, q: qn.MinimumMatch, field: str):
         must_not = []

@@ -136,6 +136,31 @@ def test_per_turn_text_equality_invariant(built):
     assert mapped["doc_id"].to_pylist() == list(range(N_TURNS))
 
 
+def test_compaction_preserves_results(built, oracle, tmp_path):
+    """compact_index merges doc-partitioned pieces; results stay rank-identical
+    and re-compaction is a resume no-op."""
+    import pyarrow.parquet as pq2
+
+    from lucille_ray.index import compact_index
+
+    data_dir, _, _ = built
+    ds = T.read_transcripts(data_dir)
+    index_dir = str(tmp_path / "cidx")
+    build_index(ds, index_dir, num_segments=2, range_width=128, batch_size=300)
+    post0 = os.path.join(index_dir, "segments", "seg-00000", "postings.parquet")
+    rows_before = pq2.read_table(post0, columns=["term"]).num_rows
+    compact_index(index_dir)
+    rows_after = pq2.read_table(post0, columns=["term"]).num_rows
+    assert rows_after < rows_before
+    engine = SearchEngine(index_dir, parallel=False)
+    for qs in QUERY_SET[::6]:
+        _compare(engine, oracle, qs)
+    mf = os.path.join(index_dir, "segments", "seg-00000", "MANIFEST.json")
+    mtime = os.path.getmtime(mf)
+    compact_index(index_dir)  # resume: skip
+    assert os.path.getmtime(mf) == mtime
+
+
 def test_suggest_search_as_you_type(built, oracle):
     """suggest() == search of the mapLastTerm-expanded AST (Term -> Term OR Prefix)."""
     from lucille_ray.query import Or, Prefix, Term, parse as parse_q
