@@ -118,25 +118,42 @@ JOIN dl_{field} dl ON dl.doc_id = pf.doc_id
 CROSS JOIN st_{field} st"""
 
 
-def proximity2_clause(field: str, t1: str, t2: str, gap: int, boost: float = 1.0) -> str:
-    """Two-term ordered proximity (each gap <= ``gap``): freq = count of DISTINCT
-    start positions with a valid continuation — the engine's reachability rule."""
+def proximity_clause(
+    field: str, terms: Sequence[str], gap: int, boost: float = 1.0
+) -> str:
+    """N-term ordered proximity (each consecutive gap <= ``gap``): freq = count of
+    DISTINCT start positions from which a full chain exists — exactly the
+    engine's backward-reachability rule, expressed as nested EXISTS chains."""
+    assert len(terms) >= 2
     b = f" * {boost!r}" if boost != 1.0 else ""
     idf_sum = " + ".join(
         f"(SELECT ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) "
         f"FROM df_{field} df CROSS JOIN st_{field} st WHERE df.term = '{t}')"
-        for t in (t1, t2)
+        for t in terms
     )
+    # innermost-out EXISTS chain: p_{i+1} strictly after p_i, within gap+1
+    chain = ""
+    for i in range(len(terms) - 1, 0, -1):
+        inner = chain and f" AND {chain}"
+        chain = (
+            f"EXISTS (SELECT 1 FROM tok_{field} p{i} "
+            f"WHERE p{i}.doc_id = p0.doc_id AND p{i}.term = '{terms[i]}' "
+            f"AND p{i}.pos > p{i-1}.pos AND p{i}.pos <= p{i-1}.pos + {gap + 1}"
+            f"{inner})"
+        )
     return f"""SELECT pf.doc_id, ({idf_sum}) * {_tfnorm('pf.freq')}{b} AS s
 FROM (
-  SELECT p1.doc_id, count(DISTINCT p1.pos) AS freq
-  FROM tok_{field} p1 JOIN tok_{field} p2
-    ON p2.doc_id = p1.doc_id AND p2.pos > p1.pos AND p2.pos <= p1.pos + {gap + 1}
-  WHERE p1.term = '{t1}' AND p2.term = '{t2}'
-  GROUP BY p1.doc_id
+  SELECT p0.doc_id, count(DISTINCT p0.pos) AS freq
+  FROM tok_{field} p0
+  WHERE p0.term = '{terms[0]}' AND {chain}
+  GROUP BY p0.doc_id
 ) pf
 JOIN dl_{field} dl ON dl.doc_id = pf.doc_id
 CROSS JOIN st_{field} st"""
+
+
+def proximity2_clause(field: str, t1: str, t2: str, gap: int, boost: float = 1.0) -> str:
+    return proximity_clause(field, [t1, t2], gap, boost)
 
 
 def bool_query(

@@ -330,6 +330,12 @@ SEARCH_QUERIES: Dict[str, tuple] = {
         '"batch window"~2',
         osql.search_sql([osql.proximity2_clause("text", "batch", "window", 2)]),
     ),
+    "search_proximity3": (
+        '"batch window spark"~3',
+        osql.search_sql(
+            [osql.proximity_clause("text", ["batch", "window", "spark"], 3)]
+        ),
+    ),
     "search_prefix": (
         "s*",
         osql.search_sql([osql.expansion_clause("text", "tf.term LIKE 's%'")]),
