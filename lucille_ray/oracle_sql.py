@@ -162,10 +162,10 @@ def bool_query(
     mode: str = "or",  # or | and | minmatch
     min_match: int = 1,
     exclude: Sequence[str] = (),
-    k: int = 10,
+    k: Optional[int] = 10,
 ) -> str:
     """Combine (doc_id, s) clause subqueries with Lucene boolean semantics and emit
-    the final top-k ``(doc_id, score_r)``."""
+    the final top-k ``(doc_id, score_r)`` (``k=None`` -> all matches)."""
     unioned = "\nUNION ALL\n".join(f"SELECT doc_id, s FROM ({c})" for c in clauses)
     having = {
         "or": "TRUE",
@@ -176,6 +176,7 @@ def bool_query(
     if exclude:
         ex = "\nUNION ALL\n".join(f"SELECT doc_id FROM ({c})" for c in exclude)
         not_filter = f"AND agg.doc_id NOT IN (SELECT doc_id FROM ({ex}))"
+    limit = f"LIMIT {k}" if k is not None else ""
     return f"""SELECT agg.doc_id, round(agg.score, 4) AS score_r
 FROM (
   SELECT doc_id, sum(s) AS score, count(*) AS cnt
@@ -185,7 +186,7 @@ FROM (
 ) agg
 WHERE TRUE {not_filter}
 ORDER BY agg.score DESC, agg.doc_id ASC
-LIMIT {k}"""
+{limit}"""
 
 
 def search_sql(
@@ -195,7 +196,7 @@ def search_sql(
     mode: str = "or",
     min_match: int = 1,
     exclude: Sequence[str] = (),
-    k: int = 10,
+    k: Optional[int] = 10,
 ) -> str:
     """Full statement: transcripts CTE + per-field stats + boolean combination."""
     return (

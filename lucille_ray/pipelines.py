@@ -370,6 +370,12 @@ SEARCH_QUERIES: Dict[str, tuple] = {
     ),
 }
 
+
+def filter_all_matches_q(sf_dir: str) -> pa.Table:
+    """Corpus filtering: EVERY doc matching the query (no top-k cut)."""
+    t = engine_for(sf_dir).match_all("join AND hash")
+    return pa.table({"doc_id": t["doc_id"], "score_r": pc.round(t["score"], 4)})
+
 # nested boolean: Or( And(Group(join|hash), Group(scan|merge)), UnaryMinus(slow) )
 # -> match docs of the And part, excluding 'slow'
 _or1 = (
@@ -399,6 +405,10 @@ def registry() -> Dict[str, tuple]:
         "lang_id": (lang_id_q, _sql_lang_id()),
         "fingerprints": (fingerprint_q, _sql_fingerprint()),
         "knn_cosine": (knn_q, _sql_knn()),
+        "filter_all_matches": (
+            filter_all_matches_q,
+            osql.search_sql([_tc("join"), _tc("hash")], mode="and", k=None),
+        ),
         # rows-only (non-SQL-expressible) ops
         "minhash_lsh": (minhash_q, None),
         "simhash": (simhash_q, None),

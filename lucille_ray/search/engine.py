@@ -92,9 +92,10 @@ class SegmentScorer:
         return {s: tuple(sorted(v)) for s, v in expanded.items()}, dfs
 
     def score(
-        self, query: qn.Query, reqs: TermRequests, ctx: EvalContext, k: int
+        self, query: qn.Query, reqs: TermRequests, ctx: EvalContext, k: Optional[int]
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Evaluate + local top-k across this scorer's segments."""
+        """Evaluate across this scorer's segments; local top-k unless ``k`` is
+        None (match-all / corpus-filtering mode)."""
         all_docs, all_scores = [], []
         for r in self.readers:
             if r.doc_count == 0:
@@ -102,12 +103,18 @@ class SegmentScorer:
             ev = SegmentEval(r, ctx, reqs, query=query)
             docs, scores = ev.eval(query)
             if docs.size:
-                d, s = top_k(docs, scores, k)
-                all_docs.append(d)
-                all_scores.append(s)
+                if k is not None:
+                    docs, scores = top_k(docs, scores, k)
+                all_docs.append(docs)
+                all_scores.append(scores)
         if not all_docs:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        return top_k(np.concatenate(all_docs), np.concatenate(all_scores), k)
+        docs = np.concatenate(all_docs)
+        scores = np.concatenate(all_scores)
+        if k is not None:
+            return top_k(docs, scores, k)
+        order = np.argsort(docs, kind="stable")
+        return docs[order], scores[order]
 
     def score_many(self, items: List[tuple]) -> List[tuple]:
         """[(query, reqs, ctx, k)] -> [(docs, scores)] — one round-trip per batch."""
@@ -256,6 +263,21 @@ class SearchEngine:
         scores = np.concatenate([r[1] for r in results])
         docs, scores = top_k(docs, scores, k)
         return self._to_table(docs, scores, with_meta)
+
+    def match_all(self, query: QueryLike, *, with_meta: bool = False) -> pa.Table:
+        """Corpus filtering: EVERY matching doc with its BM25 score, sorted by
+        doc_id — the 'keep all turns matching X' curation primitive (no top-k)."""
+        q, reqs, ctx = self.plan(query)
+        results = self._call("score", [(q, reqs, ctx, None) for _ in self._scorers()])
+        docs = np.concatenate([r[0] for r in results])
+        scores = np.concatenate([r[1] for r in results])
+        order = np.argsort(docs, kind="stable")
+        docs, scores = docs[order], scores[order]
+        if not with_meta:
+            return pa.table(
+                {"doc_id": pa.array(docs, pa.int64()), "score": pa.array(scores)}
+            )
+        return self._to_table(docs, scores, True)
 
     def suggest(self, query: QueryLike, k: int = 10, *, with_meta: bool = True) -> pa.Table:
         """Search-as-you-type: rewrite the last positional Term into
