@@ -115,6 +115,61 @@ def knn_brute(
     )
 
 
+def embedding_near_dups(
+    ds,
+    threshold: float = 0.95,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_rows: int = 4096,
+) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs (a < b, sim >= threshold).
+
+    Block-matmul sweep: the dataset streams once; each batch is compared (float64
+    numpy matmul) against every later block, which the driver holds one at a time
+    — O(N^2/2) similarity work with O(block) memory. At real scale, route blocks
+    through :class:`IVFIndex` clusters first so only same/neighbor-cluster blocks
+    multiply (the candidate-pruned variant of the same kernel).
+    """
+    blocks = []
+    for batch in ds.iter_batches(batch_size=block_rows, batch_format="pyarrow"):
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_emb_matrix(batch, emb_col))
+        blocks.append((ids, m))
+    out_a, out_b, out_s = [], [], []
+    for i, (ids_i, m_i) in enumerate(blocks):
+        for j in range(i, len(blocks)):
+            ids_j, m_j = blocks[j]
+            sims = m_i @ m_j.T
+            if i == j:
+                sims = np.triu(sims, k=1)
+            ai, bj = np.nonzero(sims >= threshold)
+            if ai.size:
+                a = ids_i[ai]
+                b = ids_j[bj]
+                swap = a > b
+                a2 = np.where(swap, b, a)
+                b2 = np.where(swap, a, b)
+                out_a.append(a2)
+                out_b.append(b2)
+                out_s.append(sims[ai, bj])
+    if not out_a:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(out_a)),
+            "b": pa.array(np.concatenate(out_b)),
+            "sim": pa.array(np.concatenate(out_s)),
+        }
+    )
+
+
 class IVFIndex:
     """Inverted-file ANN: k-means centroids from a driver-side sample, cluster
     assignment as a map_batches pass, probe-limited search."""

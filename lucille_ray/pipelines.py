@@ -167,6 +167,30 @@ def image_features_q(sf_dir: str):
     return image_features(ds, batch_size=64)
 
 
+def embedding_near_dups_q(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-dup pairs — SQL-checkable via list_cosine_similarity."""
+    import ray.data
+
+    from .ops import embedding_near_dups
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    t = embedding_near_dups(ds, threshold=0.3)
+    return pa.table(
+        {"a": t["a"], "b": t["b"], "sim_r": pc.round(t["sim"], 4)}
+    )
+
+
+def _sql_embedding_near_dups() -> str:
+    return """SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                    CAST(y.embedding AS DOUBLE[])), 4) AS sim_r
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                             CAST(y.embedding AS DOUBLE[])) >= 0.3"""
+
+
 def ivf_knn_q(sf_dir: str) -> pa.Table:
     import pyarrow.parquet as pq
     import ray.data
@@ -405,6 +429,7 @@ def registry() -> Dict[str, tuple]:
         "lang_id": (lang_id_q, _sql_lang_id()),
         "fingerprints": (fingerprint_q, _sql_fingerprint()),
         "knn_cosine": (knn_q, _sql_knn()),
+        "embedding_near_dups": (embedding_near_dups_q, _sql_embedding_near_dups()),
         "filter_all_matches": (
             filter_all_matches_q,
             osql.search_sql([_tc("join"), _tc("hash")], mode="and", k=None),

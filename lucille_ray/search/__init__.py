@@ -1,3 +1,4 @@
+from .batch import QueryScorerStage, score_query_dataset  # noqa: F401
 from .engine import SearchEngine, SegmentScorer  # noqa: F401
 from .eval import (  # noqa: F401
     EvalContext,

@@ -107,6 +107,51 @@ def test_ivf_recall_top1(ray_session):
     assert t["neighbor_id"].to_pylist() == [10, 11, 12]
 
 
+def test_embedding_near_dups(ray_session):
+    from lucille_ray.ops import embedding_near_dups
+
+    ds, m = _emb_ds(n=60)
+    import ray.data
+
+    # plant a near-duplicate of vector 5 as id 60
+    dup = m[5] + np.random.default_rng(0).normal(scale=0.01, size=m.shape[1]).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(list(range(60)) + [60], pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in np.vstack([m, dup])],
+                              pa.list_(pa.float32())),
+    })
+    pairs = embedding_near_dups(ray.data.from_arrow(t), threshold=0.95, block_rows=16)
+    got = set(zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()))
+    assert (5, 60) in got
+    assert all(a < b for a, b in got)
+
+
+def test_score_query_dataset(ray_session, tmp_path):
+    """Bulk query scoring pipeline matches per-query search; bad queries get
+    error rows instead of poisoning the batch."""
+    import ray.data
+
+    from lucille_ray import transcripts as T
+    from lucille_ray.index.build import build_index
+    from lucille_ray.search import SearchEngine, score_query_dataset
+
+    data_dir = str(tmp_path / "bulk_data")
+    index_dir = str(tmp_path / "bulk_idx")
+    T.generate(600, data_dir, num_files=2)
+    build_index(T.read_transcripts(data_dir), index_dir, num_segments=1, batch_size=300)
+    queries = ["data", "data AND query", '"lazy evaluation"', "cat OR", "deploy*"]
+    qds = ray.data.from_items([{"query": q} for q in queries])
+    out = score_query_dataset(index_dir, qds, k=5).to_pandas()
+    eng = SearchEngine(index_dir, parallel=False)
+    for q in queries:
+        rows = out[out["query"] == q]
+        if q == "cat OR":
+            assert (rows["error"] != "").all() and len(rows) == 1
+            continue
+        expect = eng.search(q, k=5, with_meta=False)["doc_id"].to_pylist()
+        assert rows.sort_values("rank")["doc_id"].tolist() == expect
+
+
 def test_image_feature_stage(ray_session):
     ds = _docs_ds(["x"] * 10).select_columns(["doc_id"])
     feats = image_features(attach_fake_images(ds, side=8), batch_size=4).to_pandas()
