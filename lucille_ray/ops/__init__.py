@@ -13,6 +13,7 @@ from .multimodal import (  # noqa: F401
     attach_fake_images,
     image_features,
 )
+from .sessions import SESSIONIZE_SQL, sessionize  # noqa: F401
 from .similarity import IVFIndex, embedding_near_dups, knn_brute  # noqa: F401
 from .textstats import (  # noqa: F401
     fingerprints,

@@ -1,0 +1,80 @@
+"""Windowed/stateful event operators: gap-based sessionization.
+
+The canonical "custom operator the Dataset API lacks" (SURVEY.md §2.E): a
+per-key ordered stateful pass, expressed as ``groupby(user_id).map_groups`` with
+a vectorized in-group kernel. The partitioning assumption it relies on: one
+group sees ALL events of a user (Ray's groupby guarantees it); skewed users are
+bounded by per-user event counts, not corpus size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def sessionize(
+    ds,
+    gap_seconds: int = 6 * 3600,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """events -> one row per (user, session): a new session starts when the gap
+    since the user's previous event exceeds ``gap_seconds``.
+
+    Output: (user_id, session_idx, n_events, start_ts, end_ts, total_value_r).
+    Events are ordered by (ts, event_id) within a user — the same deterministic
+    order the SQL oracle's window uses.
+    """
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, "event_id"], kind="stable")
+        ts = g[ts_col].to_numpy()
+        gaps = np.diff(ts).astype("timedelta64[s]").astype(np.int64)
+        new_session = np.concatenate([[0], (gaps > gap_seconds).astype(np.int64)])
+        sid = np.cumsum(new_session)
+        out = (
+            pd.DataFrame(
+                {
+                    user_col: g[user_col].to_numpy(),
+                    "session_idx": sid,
+                    ts_col: ts,
+                    value_col: g[value_col].to_numpy(),
+                }
+            )
+            .groupby([user_col, "session_idx"], as_index=False)
+            .agg(
+                n_events=(value_col, "size"),
+                start_ts=(ts_col, "min"),
+                end_ts=(ts_col, "max"),
+                total_value=(value_col, "sum"),
+            )
+        )
+        out["total_value_r"] = out["total_value"].round(4)
+        return out.drop(columns=["total_value"])
+
+    return ds.groupby(user_col).map_groups(per_user, batch_format="pandas")
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts - lag(ts) OVER w) > {gap} THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       round(sum(value), 4) AS total_value_r
+FROM numbered
+GROUP BY user_id, session_idx
+""".strip()

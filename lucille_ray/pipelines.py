@@ -182,6 +182,12 @@ def embedding_near_dups_q(sf_dir: str) -> pa.Table:
     )
 
 
+def _sessionize_sql() -> str:
+    from .ops import SESSIONIZE_SQL
+
+    return SESSIONIZE_SQL.format(gap=6 * 3600)
+
+
 def _sql_embedding_near_dups() -> str:
     return """SELECT x.vec_id AS a, y.vec_id AS b,
        round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
@@ -189,6 +195,19 @@ def _sql_embedding_near_dups() -> str:
 FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
 WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                              CAST(y.embedding AS DOUBLE[])) >= 0.3"""
+
+
+def sessionize_q(sf_dir: str):
+    """Gap-based sessionization of the events stream (6h inactivity gap)."""
+    import ray.data
+
+    from .ops import sessionize
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    return sessionize(ds, gap_seconds=6 * 3600)
 
 
 def ivf_knn_q(sf_dir: str) -> pa.Table:
@@ -430,6 +449,7 @@ def registry() -> Dict[str, tuple]:
         "fingerprints": (fingerprint_q, _sql_fingerprint()),
         "knn_cosine": (knn_q, _sql_knn()),
         "embedding_near_dups": (embedding_near_dups_q, _sql_embedding_near_dups()),
+        "sessionize": (sessionize_q, _sessionize_sql()),
         "filter_all_matches": (
             filter_all_matches_q,
             osql.search_sql([_tc("join"), _tc("hash")], mode="and", k=None),

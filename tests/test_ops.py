@@ -152,6 +152,32 @@ def test_score_query_dataset(ray_session, tmp_path):
         assert rows.sort_values("rank")["doc_id"].tolist() == expect
 
 
+def test_sessionize_gap_semantics(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from lucille_ray.ops import sessionize
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1: two sessions (gap of 2h > 1h threshold between idx 1 and 2)
+        {"user_id": 1, "event_id": 0, "ts": base, "value": 1.0},
+        {"user_id": 1, "event_id": 1, "ts": base + pd.Timedelta("30min"), "value": 2.0},
+        {"user_id": 1, "event_id": 2, "ts": base + pd.Timedelta("2h31min"), "value": 4.0},
+        # user 2: one session
+        {"user_id": 2, "event_id": 3, "ts": base, "value": 8.0},
+    ]
+    out = (
+        sessionize(ray.data.from_items(rows), gap_seconds=3600)
+        .to_pandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+    assert out["n_events"].tolist() == [2, 1, 1]
+    assert out["total_value_r"].tolist() == [3.0, 4.0, 8.0]
+    assert out.loc[0, "end_ts"] == base + pd.Timedelta("30min")
+
+
 def test_image_feature_stage(ray_session):
     ds = _docs_ds(["x"] * 10).select_columns(["doc_id"])
     feats = image_features(attach_fake_images(ds, side=8), batch_size=4).to_pandas()
