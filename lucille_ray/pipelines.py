@@ -58,10 +58,22 @@ def engine_for(sf_dir: str) -> SearchEngine:
 
         tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
         index_dir = os.path.join(CACHE_ROOT, f"idx-{tag}")
-        ds = derive_from_documents(sf_dir)
-        build_index(ds, index_dir, num_segments=2, batch_size=8192, resume=True)
-        compact_index(index_dir)  # flush-then-merge: piecewise build, compact serve
-        eng = SearchEngine(index_dir, parallel=False)
+        try:
+            ds = derive_from_documents(sf_dir)
+            build_index(ds, index_dir, num_segments=2, batch_size=8192, resume=True)
+            compact_index(index_dir)  # flush-then-merge: build piecewise, serve compact
+            eng = SearchEngine(index_dir, parallel=False)
+        except ValueError:
+            # stale cache from an older index format -> rebuild from scratch
+            import shutil
+
+            shutil.rmtree(index_dir, ignore_errors=True)
+            build_index(
+                derive_from_documents(sf_dir), index_dir,
+                num_segments=2, batch_size=8192, resume=False,
+            )
+            compact_index(index_dir)
+            eng = SearchEngine(index_dir, parallel=False)
         _ENGINES[sf_dir] = eng
     return eng
 
