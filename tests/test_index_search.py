@@ -136,6 +136,61 @@ def test_per_turn_text_equality_invariant(built):
     assert mapped["doc_id"].to_pylist() == list(range(N_TURNS))
 
 
+def test_resume_after_docmap_crash(built, tmp_path):
+    """A half-written docmap (no index_meta yet) must be wiped, not appended to."""
+    data_dir, _, _ = built
+    ds = T.read_transcripts(data_dir)
+    index_dir = str(tmp_path / "crash_idx")
+    build_index(ds, index_dir, num_segments=2, batch_size=400)
+    ref = SearchEngine(index_dir, parallel=False).search("data", k=5, with_meta=False)
+    # simulate a crash BEFORE meta was written: meta gone, docmapped half-present
+    os.remove(os.path.join(index_dir, "index_meta.json"))
+    shutil.rmtree(os.path.join(index_dir, "segments"))
+    build_index(ds, index_dir, num_segments=2, batch_size=400)
+    again = SearchEngine(index_dir, parallel=False).search("data", k=5, with_meta=False)
+    assert ref.to_pydict() == again.to_pydict()
+    # doc count must not have doubled (no appended duplicate docmap files)
+    import pyarrow.parquet as pq2
+
+    mapped = pq2.read_table(os.path.join(index_dir, "docmapped"), columns=["doc_id"])
+    assert mapped.num_rows == N_TURNS
+
+
+def test_hot_term_skew_build(ray_session, tmp_path):
+    """A term present in EVERY doc must spread across pieces (no monolithic merge)."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+    import ray.data
+
+    n = 4000
+    t = pa2.table(
+        {
+            "conv_id": pa2.array([f"c{i // 8:06d}" for i in range(n)]),
+            "turn_idx": pa2.array([i % 8 for i in range(n)], pa2.int32()),
+            "role": pa2.array(["user"] * n),
+            "text": pa2.array(["hot filler" if i % 2 else "hot other word" for i in range(n)]),
+            "tool": pa2.array(["none"] * n),
+            "ts": pa2.array([1_700_000_000_000_000 + i] * 1 if False else [1_700_000_000_000_000 + i for i in range(n)], pa2.timestamp("us")),
+        }
+    )
+    data = str(tmp_path / "skew.parquet")
+    pq2.write_table(t, data)
+    index_dir = str(tmp_path / "skew_idx")
+    build_index(
+        ray.data.read_parquet(data), index_dir, num_segments=1,
+        range_width=256, batch_size=500,
+    )
+    post = pq2.read_table(
+        os.path.join(index_dir, "segments", "seg-00000", "postings.parquet"),
+        columns=["term", "df"],
+        filters=[("term", "==", "hot")],
+    )
+    assert post.num_rows > 1  # the 100%-df term is split into many pieces
+    assert sum(post["df"].to_pylist()) == n
+    eng = SearchEngine(index_dir, parallel=False)
+    assert eng.match_all("hot").num_rows == n
+
+
 def test_compaction_preserves_results(built, oracle, tmp_path):
     """compact_index merges doc-partitioned pieces; results stay rank-identical
     and re-compaction is a resume no-op."""
