@@ -192,25 +192,33 @@ def run_scaling(turns: int, sf_dir: str, levels=(2, 8)) -> dict:
     env_levels = os.environ.get("GRAFT_SCALING_LEVELS")
     if env_levels:
         levels = tuple(int(x) for x in env_levels.split(","))
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
     out = {}
-    for ncpu in levels:
-        env = dict(os.environ)
-        env["RAY_GRAFT_CPUS"] = str(ncpu)
-        env["GRAFT_BENCH_TURNS"] = str(turns)
-        env["GRAFT_SF_DIR"] = "__skip__"  # scaling measures the build only
-        env["GRAFT_BENCH_BUILD_ONLY"] = "1"
-        env.setdefault("GRAFT_BENCH_SEGMENTS", "1")
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child"],
-            capture_output=True, text=True, env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        if proc.returncode != 0:
-            log(proc.stderr[-2000:])
-            raise RuntimeError(f"scaling child at {ncpu} cpus failed")
-        line = proc.stdout.strip().splitlines()[-1]
-        out[ncpu] = json.loads(line)
-        log(f"[scaling] {ncpu} cpus -> {out[ncpu]['index_build_turns_per_sec']:,} turns/s")
+    # interleave the levels across process rounds so slow machine-state drift
+    # (page cache, noisy-neighbor vCPUs) hits both levels equally; keep the best
+    # observation per level (each child is itself best-of-2 warm builds)
+    for _round in range(rounds):
+        for ncpu in levels:
+            env = dict(os.environ)
+            env["RAY_GRAFT_CPUS"] = str(ncpu)
+            env["GRAFT_BENCH_TURNS"] = str(turns)
+            env["GRAFT_SF_DIR"] = "__skip__"  # scaling measures the build only
+            env["GRAFT_BENCH_BUILD_ONLY"] = "1"
+            env.setdefault("GRAFT_BENCH_SEGMENTS", "1")
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                capture_output=True, text=True, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if proc.returncode != 0:
+                log(proc.stderr[-2000:])
+                raise RuntimeError(f"scaling child at {ncpu} cpus failed")
+            res = json.loads(proc.stdout.strip().splitlines()[-1])
+            best = out.get(ncpu)
+            if best is None or res["index_build_turns_per_sec"] > best["index_build_turns_per_sec"]:
+                out[ncpu] = res
+            log(f"[scaling] round {_round} {ncpu} cpus -> "
+                f"{res['index_build_turns_per_sec']:,} turns/s")
     lo, hi = levels
     thr_lo = out[lo]["index_build_turns_per_sec"]
     thr_hi = out[hi]["index_build_turns_per_sec"]
