@@ -54,7 +54,14 @@ def sessionize(
             )
         )
         out["total_value_r"] = out["total_value"].round(4)
-        return out.drop(columns=["total_value"])
+        out = out.drop(columns=["total_value"])
+        # Bit-exact driver-hash contract with the SQL oracle: int64 counters and
+        # microsecond timestamps (pandas defaults to ns; DuckDB emits us).
+        out["session_idx"] = out["session_idx"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        out["start_ts"] = out["start_ts"].astype("datetime64[us]")
+        out["end_ts"] = out["end_ts"].astype("datetime64[us]")
+        return out
 
     return ds.groupby(user_col).map_groups(per_user, batch_format="pandas")
 
@@ -72,7 +79,8 @@ numbered AS (
                           ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM flagged
 )
-SELECT user_id, session_idx, count(*) AS n_events,
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
        min(ts) AS start_ts, max(ts) AS end_ts,
        round(sum(value), 4) AS total_value_r
 FROM numbered

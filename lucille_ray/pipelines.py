@@ -267,11 +267,13 @@ def _sql_token_counts() -> str:
 
 def _sql_doc_stats() -> str:
     te = osql.tokens_expr("text")
+    # CASTs matter: DuckDB's sum() yields HUGEINT, which arrow-ifies as a wider
+    # type than the engine's int64 and fails the driver's bit-exact hash.
     return f"""WITH {osql.TRANSCRIPTS_SQL_CTE},
 arr AS (SELECT doc_id, {te} AS arr FROM transcripts)
-SELECT (SELECT count(*) FROM transcripts) AS n_docs,
-       (SELECT coalesce(sum(len(arr)), 0) FROM arr) AS total_tokens,
-       (SELECT count(DISTINCT t.term) FROM (SELECT unnest(arr) AS term FROM arr) t) AS n_terms"""
+SELECT CAST((SELECT count(*) FROM transcripts) AS BIGINT) AS n_docs,
+       CAST((SELECT coalesce(sum(len(arr)), 0) FROM arr) AS BIGINT) AS total_tokens,
+       CAST((SELECT count(DISTINCT t.term) FROM (SELECT unnest(arr) AS term FROM arr) t) AS BIGINT) AS n_terms"""
 
 
 def _sql_exact_dedup() -> str:
@@ -286,10 +288,10 @@ SELECT doc_id,
        len(arr) AS n_tokens,
        length(coalesce(text, '')) AS n_chars,
        len(list_distinct(arr)) AS n_uniq_tokens,
-       (CASE WHEN len(arr) >= 20 THEN 1 ELSE 0 END
+       CAST(CASE WHEN len(arr) >= 20 THEN 1 ELSE 0 END
         + CASE WHEN len(arr) >= 5 THEN 1 ELSE 0 END
         + CASE WHEN 2 * len(list_distinct(arr)) >= len(arr) THEN 1 ELSE 0 END
-       ) AS quality_bucket
+        AS BIGINT) AS quality_bucket
 FROM arr"""
 
 

@@ -130,8 +130,12 @@ def collect_term_requests(
 ) -> TermRequests:
     reqs = reqs if reqs is not None else TermRequests()
     if isinstance(q, qn.Term):
-        for t in tokenize(q.value):  # analyzer may split e.g. 'first.last'
+        toks = tokenize(q.value)  # analyzer may split e.g. 'first.last'
+        for t in toks:
             reqs.exact.add((field, t))
+            if len(toks) > 1:
+                # eval routes a split Term through _phrase, which needs positions
+                reqs.positional.add((field, t))
     elif isinstance(q, (qn.Phrase, qn.Proximity)):
         for t in tokenize(q.value):
             reqs.exact.add((field, t))

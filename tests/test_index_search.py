@@ -31,6 +31,8 @@ QUERY_SET = [
     "+data query",
     "NOT data",
     '"lazy evaluation"',
+    "lazy.evaluation",  # punctuated Term -> analyzer splits -> implicit phrase
+    "data.query.join",
     '"data query"~2',
     '"query data table"~3',
     "deploy*",

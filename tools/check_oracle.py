@@ -47,8 +47,10 @@ def main():
     import duckdb
     import ray
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv  # mimic the driver: bit-exact dtypes + values
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     if not ray.is_initialized():
         ray.init(
@@ -101,7 +103,10 @@ def main():
         try:
             import pandas.testing as pdt
 
-            pdt.assert_frame_equal(got, exp, check_dtype=False, check_exact=False, rtol=0, atol=1e-12)
+            if strict:
+                pdt.assert_frame_equal(got, exp, check_dtype=True, check_exact=True)
+            else:
+                pdt.assert_frame_equal(got, exp, check_dtype=False, check_exact=False, rtol=0, atol=1e-12)
             print(f"OK   {name}: {len(got)} rows ({ray_s:.1f}s)")
         except AssertionError as ex:
             print(f"FAIL {name}: value mismatch\n{str(ex)[:500]}")
