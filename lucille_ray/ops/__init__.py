@@ -14,7 +14,12 @@ from .multimodal import (  # noqa: F401
     image_features,
 )
 from .sessions import SESSIONIZE_SQL, sessionize  # noqa: F401
-from .similarity import IVFIndex, embedding_near_dups, knn_brute  # noqa: F401
+from .similarity import (  # noqa: F401
+    IVFIndex,
+    embedding_near_dups,
+    embedding_near_dups_ann,
+    knn_brute,
+)
 from .textstats import (  # noqa: F401
     fingerprints,
     lang_id,

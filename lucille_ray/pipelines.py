@@ -223,6 +223,11 @@ def sessionize_q(sf_dir: str):
 
 
 def ivf_knn_q(sf_dir: str) -> pa.Table:
+    """IVF ANN with nprobe = n_clusters: exhaustive probing makes the result
+    EXACTLY the brute-force top-k, so the knn SQL oracle applies — the driver
+    verifies the whole cluster-partitioned-store plumbing end to end. The
+    pruned-probe (approximate) path is covered by the recall@k pytest goldens
+    (tests/test_ops.py::test_ivf_recall_at_k_vs_brute)."""
     import pyarrow.parquet as pq
     import ray.data
 
@@ -236,7 +241,7 @@ def ivf_knn_q(sf_dir: str) -> pa.Table:
     qmat = np.asarray(head["embedding"].to_pylist(), np.float64)
     ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
     idx = IVFIndex(n_clusters=8, n_iter=5).fit(ds)
-    t = idx.search(qids, qmat, k=5, nprobe=3)
+    t = idx.search(qids, qmat, k=5, nprobe=8)
     return pa.table(
         {
             "query_id": t["query_id"],
@@ -472,7 +477,7 @@ def registry() -> Dict[str, tuple]:
         "minhash_lsh": (minhash_q, None),
         "simhash": (simhash_q, None),
         "image_features": (image_features_q, None),
-        "ivf_knn": (ivf_knn_q, None),
+        "ivf_knn": (ivf_knn_q, _sql_knn()),
     }
     for name, (qs, sql) in SEARCH_QUERIES.items():
         out[name] = (

@@ -98,13 +98,65 @@ def test_knn_brute_matches_numpy(ray_session):
         assert got == expect.tolist()
 
 
-def test_ivf_recall_top1(ray_session):
+def test_ivf_recall_top1(ray_session, tmp_path):
     ds, m = _emb_ds(n=200)
     q = m[10:13].astype(np.float64)
-    idx = IVFIndex(n_clusters=8, n_iter=5).fit(ds)
+    idx = IVFIndex(n_clusters=8, n_iter=5, path=str(tmp_path / "ivf")).fit(ds)
     t = idx.search(np.array([10, 11, 12]), q, k=1, nprobe=4)
     # the query vectors themselves must be their own top-1 (they're in the data)
     assert t["neighbor_id"].to_pylist() == [10, 11, 12]
+
+
+def test_ivf_recall_at_k_vs_brute(ray_session, tmp_path):
+    """Recall@5 >= 0.9 against exact knn_brute on the same data — the golden
+    check that keeps ivf_knn honest without an SQL oracle."""
+    ds, m = _emb_ds(n=400, dim=16, seed=7)
+    qids = np.arange(5, dtype=np.int64)
+    q = m[:5].astype(np.float64)
+    exact = knn_brute(ds, qids, q, k=5)
+    idx = IVFIndex(n_clusters=8, n_iter=8, path=str(tmp_path / "ivf")).fit(ds)
+    approx = idx.search(qids, q, k=5, nprobe=4)
+    hits = total = 0
+    for qi in qids:
+        e = set(exact.filter(pa.compute.equal(exact["query_id"], qi))["neighbor_id"].to_pylist())
+        a = set(approx.filter(pa.compute.equal(approx["query_id"], qi))["neighbor_id"].to_pylist())
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.9
+
+
+def test_ivf_load_reattaches_persisted_index(ray_session, tmp_path):
+    ds, m = _emb_ds(n=150)
+    path = str(tmp_path / "ivf_store")
+    IVFIndex(n_clusters=4, n_iter=4, path=path).fit(ds)
+    idx = IVFIndex.load(path)  # fresh object, no fit
+    q = m[3:5].astype(np.float64)
+    t = idx.search(np.array([3, 4]), q, k=1, nprobe=4)
+    assert t["neighbor_id"].to_pylist() == [3, 4]
+
+
+def test_embedding_near_dups_ann_finds_planted_pair(ray_session):
+    from lucille_ray.ops import embedding_near_dups, embedding_near_dups_ann
+
+    ds, m = _emb_ds(n=120, dim=16, seed=11)
+    import ray.data
+
+    dup = m[7] + np.random.default_rng(1).normal(scale=0.005, size=m.shape[1]).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(list(range(120)) + [120], pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in np.vstack([m, dup])],
+                              pa.list_(pa.float32())),
+    })
+    ds2 = ray.data.from_arrow(t)
+    exact = embedding_near_dups(ds2, threshold=0.95)
+    approx = embedding_near_dups_ann(ds2, threshold=0.95, n_clusters=6, nprobe=2)
+    got = set(zip(approx["a"].to_pylist(), approx["b"].to_pylist()))
+    assert (7, 120) in got
+    # ANN output must be a subset of the exact pairs (no false positives) and
+    # multi-probe dedup must hold (no repeated pairs)
+    exact_pairs = set(zip(exact["a"].to_pylist(), exact["b"].to_pylist()))
+    assert got <= exact_pairs
+    assert len(got) == approx.num_rows
 
 
 def test_embedding_near_dups(ray_session):
