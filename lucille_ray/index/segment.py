@@ -53,6 +53,9 @@ class SegmentReader:
         # long-lived scorer actors); FIFO-capped by entry count
         self._post_cache: "OrderedDict[Tuple[str, str, bool], tuple]" = OrderedDict()
         self._post_cache_cap = 512
+        # undecoded raw block rows (WAND path: metadata-guided selective decode)
+        self._raw_cache: "OrderedDict[Tuple[str, str], list]" = OrderedDict()
+        self._raw_cache_cap = 256
 
     # ---- stats ----
 
@@ -201,6 +204,56 @@ class SegmentReader:
         self, field: str, term: str, want_positions: bool = False
     ) -> Optional[Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]]:
         return self.postings_many(field, [term], want_positions).get(term)
+
+    def raw_blocks_many(self, field: str, terms: Sequence[str]) -> Dict[str, list]:
+        """UNDECODED block rows per term (bucket order), for metadata-guided
+        selective decode (block-max WAND). One predicate-pushdown read for all
+        missing terms; cached like decoded postings."""
+        if self.empty or not terms:
+            return {}
+        out: Dict[str, list] = {}
+        missing = []
+        for term in set(terms):
+            hit = self._raw_cache.get((field, term))
+            if hit is not None:
+                out[term] = hit
+            else:
+                missing.append(term)
+        if missing:
+            t = pq.read_table(
+                os.path.join(self.seg_dir, "postings.parquet"),
+                columns=["term", "bucket", "blocks"],
+                filters=[("field", "==", field), ("term", "in", missing)],
+            )
+            if t.num_rows:
+                order = pc.sort_indices(
+                    t, sort_keys=[("term", "ascending"), ("bucket", "ascending")]
+                )
+                t = t.take(order)
+                terms_np = t["term"].to_pylist()
+                blocks_col = t["blocks"].to_pylist()
+                i = 0
+                while i < len(terms_np):
+                    j = i
+                    blocks: list = []
+                    while j < len(terms_np) and terms_np[j] == terms_np[i]:
+                        blocks.extend(blocks_col[j])
+                        j += 1
+                    out[terms_np[i]] = blocks
+                    i = j
+            for term in missing:
+                blocks = out.setdefault(term, [])
+                self._raw_cache[(field, term)] = blocks
+                while len(self._raw_cache) > self._raw_cache_cap:
+                    self._raw_cache.popitem(last=False)
+        return out
+
+    def cache_decoded(self, field: str, term: str, post: tuple) -> None:
+        """Insert an externally-decoded postings triple into the shared cache
+        (the WAND bootstrap decodes from raw blocks; keep repeat queries warm)."""
+        self._post_cache[(field, term, False)] = post
+        while len(self._post_cache) > self._post_cache_cap:
+            self._post_cache.popitem(last=False)
 
     # ---- doc metadata (conv_id, turn_idx) for result rows ----
 

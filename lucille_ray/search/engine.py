@@ -95,13 +95,24 @@ class SegmentScorer:
         self, query: qn.Query, reqs: TermRequests, ctx: EvalContext, k: Optional[int]
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Evaluate across this scorer's segments; local top-k unless ``k`` is
-        None (match-all / corpus-filtering mode)."""
+        None (match-all / corpus-filtering mode). Disjunctions of simple terms
+        with finite k take the block-max WAND score-skipping path (exact by
+        construction; see wand.py)."""
+        from .wand import wand_parts, wand_top_k
+
+        wand = wand_parts(query) if k is not None else None
         all_docs, all_scores = [], []
         for r in self.readers:
             if r.doc_count == 0:
                 continue
-            ev = SegmentEval(r, ctx, reqs, query=query)
-            docs, scores = ev.eval(query)
+            if wand is not None:
+                parts, scale = wand
+                docs, scores = wand_top_k(r, ctx, parts, k)
+                if scale != 1.0:
+                    scores = scores * scale
+            else:
+                ev = SegmentEval(r, ctx, reqs, query=query)
+                docs, scores = ev.eval(query)
             if docs.size:
                 if k is not None:
                     docs, scores = top_k(docs, scores, k)

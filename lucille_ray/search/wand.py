@@ -1,0 +1,277 @@
+"""Block-max WAND top-k for disjunctive queries (north_star: "block-max WAND
+top-k BM25 scoring").
+
+Vectorized block-at-a-time variant of Broder et al.'s WAND / Ding & Suel's
+block-max WAND, adapted to this engine's exact-score contract: score-skipping
+must NEVER change the returned top-k ranks or scores, only avoid work.
+
+Per segment, for a query that is a pure disjunction of single-token terms
+(possibly boosted / field-routed — the OR-heavy shape where term-at-a-time
+evaluation decodes and scores every posting of every term):
+
+1. fetch raw posting BLOCKS (metadata ``first_doc/last_doc/max_tf`` + undecoded
+   varint payloads) for every term;
+2. bootstrap a threshold θ: fully decode terms in decreasing block-max-impact
+   order (rarest/highest-impact first — cheap) until the decoded union has ≥ k
+   docs; θ = k-th best partial score (a LOWER bound on the final k-th score,
+   since adding more terms only raises scores);
+3. per-block BM25 upper bound σ(block) = boost · idf · (k1+1)·max_tf /
+   (max_tf + k1·(1−b+b·dl_min/avgdl)) with ``dl_min`` a windowed minimum of the
+   segment's norms over the block's doc range (smaller dl ⇒ larger bound ⇒
+   still admissible);
+4. one event sweep over all blocks' doc ranges yields the piecewise-constant
+   upper bound Σσ per doc interval; intervals with bound < θ−ε are pruned —
+   every block fully inside pruned intervals is never decoded;
+5. decode the surviving blocks, score exactly, merge with the bootstrap terms'
+   exact scores, take top-k.
+
+Exactness: a doc d in the final top-k has score(d) ≥ k-th final ≥ θ, and its
+interval bound ≥ score(d) (each term's block bound dominates its contribution),
+so d's interval — and therefore every block containing d — survives, giving d
+its complete, exact score. Pruned docs have bound < θ ≤ k-th final and cannot
+enter the top-k; partially-scored stragglers (docs of decoded bootstrap terms
+in pruned intervals) carry scores ≤ bound < θ and rank strictly below the true
+top-k. ε guards float-associativity noise between the bound sum and the score
+sum. ``tests/test_wand.py`` asserts rank+score identity vs the plain evaluator
+over the full QUERY_SET shapes and randomized corpora.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..analysis import DEFAULT_FIELD
+from ..query import nodes as qn
+from .eval import B, EMPTY, EvalContext, K1, simple_term_of, top_k
+
+#: absolute slack subtracted from θ before interval pruning (scores are O(1-100);
+#: float noise between bound-sum and score-sum is ~1e-12)
+THETA_EPS = 1e-6
+
+#: norms window size for the per-block dl_min bound
+NORMS_WINDOW = 2048
+
+
+def wand_parts(
+    q: qn.Query, field: str = DEFAULT_FIELD
+) -> Optional[Tuple[List[Tuple[str, str, float]], float]]:
+    """Match the WAND-eligible shape: (Group/Boost/Field)* wrapping an Or whose
+    children are all simple single-token terms. Returns (merged (field, term,
+    boost) parts, root scale) or None. Duplicate terms merge by summing boosts
+    (Or sums matching clause scores)."""
+    scale = 1.0
+    while isinstance(q, (qn.Group, qn.Boost, qn.Field)):
+        if isinstance(q, qn.Boost):
+            scale *= float(q.weight)
+        elif isinstance(q, qn.Field):
+            field = q.field
+        q = q.q
+    if not isinstance(q, qn.Or) or len(q.qs) < 2:
+        return None
+    parts: List[Tuple[str, str, float]] = []
+    seen = set()
+    for c in q.qs:
+        s = simple_term_of(c, field)
+        if s is None:
+            return None
+        f, t, b = s
+        if (f, t) in seen:
+            return None  # duplicate clauses sum per-clause; keep eval's float order
+        seen.add((f, t))
+        parts.append((f, t, b))
+    if scale <= 0 or any(b <= 0 for _f, _t, b in parts):
+        return None  # non-positive boosts flip the bound direction; fall back
+    return parts, scale
+
+
+def _norms_window_min(reader, field: str) -> np.ndarray:
+    """Min of norms per NORMS_WINDOW chunk, cached on the reader."""
+    cache = getattr(reader, "_norms_winmin", None)
+    if cache is None:
+        cache = reader._norms_winmin = {}
+    arr = cache.get(field)
+    if arr is None:
+        norms = reader.norms(field)
+        n = norms.size
+        if n == 0:
+            arr = np.empty(0, dtype=np.int64)
+        else:
+            pad = (-n) % NORMS_WINDOW
+            padded = np.concatenate(
+                [norms, np.full(pad, np.iinfo(np.int64).max, dtype=np.int64)]
+            )
+            arr = padded.reshape(-1, NORMS_WINDOW).min(axis=1)
+        cache[field] = arr
+    return arr
+
+
+def _block_dl_min(reader, field: str, firsts: np.ndarray, lasts: np.ndarray) -> np.ndarray:
+    """Lower bound on the min doc length over each block's doc range (window
+    granularity: covers a superset of the range, so the min can only drop —
+    admissible for an upper-bound score)."""
+    winmin = _norms_window_min(reader, field)
+    if winmin.size == 0:
+        return np.ones(firsts.size, dtype=np.float64)
+    lo_w = np.clip((firsts - reader.doc_base) // NORMS_WINDOW, 0, winmin.size - 1)
+    hi_w = np.clip((lasts - reader.doc_base) // NORMS_WINDOW, 0, winmin.size - 1)
+    out = np.empty(firsts.size, dtype=np.float64)
+    # most blocks span 1-2 windows; loop over blocks is over BLOCK COUNT (small),
+    # not postings
+    for i in range(firsts.size):
+        out[i] = winmin[lo_w[i]: hi_w[i] + 1].min()
+    return out
+
+
+def _bm25_exact(reader, ctx: EvalContext, field: str, term: str, boost: float,
+                docs: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Bit-identical to SegmentEval's _bm25 followed by eval's Boost scaling —
+    same expression, same operation order, so ties break identically."""
+    dl = reader.norms(field)[docs - reader.doc_base].astype(np.float64)
+    avgdl = ctx.avgdl.get(field) or 1.0
+    tf = tfs.astype(np.float64)
+    idf = ctx.idf(field, term)
+    scores = idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+    if boost != 1.0:
+        scores = scores * boost
+    return scores
+
+
+def wand_top_k(
+    reader, ctx: EvalContext, parts: List[Tuple[str, str, float]], k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact top-k of a disjunction of simple terms over one segment, decoding
+    only blocks whose doc interval can beat the bootstrap threshold."""
+    by_field: dict = {}
+    for field, term, boost in parts:
+        by_field.setdefault(field, []).append(term)
+    raw = {
+        (f, t): blocks
+        for f, ts in by_field.items()
+        for t, blocks in reader.raw_blocks_many(f, ts).items()
+    }
+
+    terms_meta = []  # (field, term, boost, blocks, firsts, lasts, ub_blocks)
+    for field, term, boost in parts:
+        idf = ctx.idf(field, term)
+        if idf <= 0.0:
+            continue
+        blocks = raw.get((field, term)) or []
+        if not blocks:
+            continue
+        nb = len(blocks)
+        firsts = np.fromiter((b["first_doc"] for b in blocks), np.int64, nb)
+        lasts = np.fromiter((b["last_doc"] for b in blocks), np.int64, nb)
+        max_tf = np.fromiter((b["max_tf"] for b in blocks), np.float64, nb)
+        avgdl = ctx.avgdl.get(field) or 1.0
+        dl_min = _block_dl_min(reader, field, firsts, lasts)
+        ub = boost * idf * max_tf * (K1 + 1.0) / (
+            max_tf + K1 * (1.0 - B + B * dl_min / avgdl)
+        )
+        terms_meta.append((field, term, boost, blocks, firsts, lasts, ub))
+    if not terms_meta:
+        return EMPTY
+
+    # ---- bootstrap θ: decode highest-impact terms until >= k docs seen ----
+    impact_order = sorted(
+        range(len(terms_meta)), key=lambda i: -float(terms_meta[i][6].max())
+    )
+    decoded: dict = {}  # index -> (docs, scores)
+    seen_docs = 0
+    for i in impact_order:
+        field, term, boost, blocks, *_ = terms_meta[i]
+        docs, tfs = _decode_full(reader, field, term, blocks)
+        scores = _bm25_exact(reader, ctx, field, term, boost, docs, tfs)
+        decoded[i] = (docs, scores)
+        seen_docs += docs.size
+        if seen_docs >= k and len(decoded) >= 1:
+            break
+
+    undecoded = [i for i in range(len(terms_meta)) if i not in decoded]
+    if not undecoded:
+        return _merge_top_k(decoded, k)
+
+    theta = -np.inf
+    if seen_docs >= k:
+        pdocs = np.concatenate([decoded[i][0] for i in decoded])
+        pscores = np.concatenate([decoded[i][1] for i in decoded])
+        ud, inv = np.unique(pdocs, return_inverse=True)
+        sums = np.zeros(ud.size, dtype=np.float64)
+        np.add.at(sums, inv, pscores)
+        if ud.size >= k:
+            theta = float(-np.partition(-sums, k - 1)[k - 1])
+
+    results = dict(decoded)
+    if not np.isfinite(theta):
+        # nothing to prune against: decode everything
+        for i in undecoded:
+            field, term, boost, blocks, *_ = terms_meta[i]
+            docs, tfs = _decode_full(reader, field, term, blocks)
+            results[i] = (docs, _bm25_exact(reader, ctx, field, term, boost, docs, tfs))
+        return _merge_top_k(results, k)
+
+    # ---- event sweep: piecewise-constant upper bound over doc ranges ----
+    xs = np.concatenate(
+        [m[4] for m in terms_meta] + [m[5] + 1 for m in terms_meta]
+    )
+    deltas = np.concatenate([m[6] for m in terms_meta] + [-m[6] for m in terms_meta])
+    order = np.argsort(xs, kind="stable")
+    xs_s = xs[order]
+    bound = np.cumsum(deltas[order])
+    keep = bound >= theta - THETA_EPS
+    # candidate intervals [xs_s[i], xs_s[i+1]) where keep[i]; merge adjacent
+    if not keep.any():
+        return _merge_top_k(results, k)
+    starts = np.flatnonzero(keep & ~np.concatenate([[False], keep[:-1]]))
+    ends = np.flatnonzero(keep & ~np.concatenate([keep[1:], [False]]))
+    cand_lo = xs_s[starts]
+    cand_hi = np.where(ends + 1 < xs_s.size, xs_s[ends + 1], np.iinfo(np.int64).max)
+
+    for i in undecoded:
+        field, term, boost, blocks, firsts, lasts, _ub = terms_meta[i]
+        # block survives iff its [first,last] overlaps a candidate interval
+        pos = np.searchsorted(cand_hi, firsts, side="right")
+        ok = pos < cand_lo.size
+        ok[ok] &= cand_lo[pos[ok]] <= lasts[ok]
+        if not ok.any():
+            continue
+        sub = [b for b, o in zip(blocks, ok) if o]
+        docs, tfs = _decode_blocks(sub)
+        results[i] = (docs, _bm25_exact(reader, ctx, field, term, boost, docs, tfs))
+    return _merge_top_k(results, k)
+
+
+def _decode_blocks(blocks) -> Tuple[np.ndarray, np.ndarray]:
+    from ..index.codec import decode_postings, sort_postings
+
+    docs, tfs, _ = decode_postings(blocks, False)
+    if docs.size > 1 and (np.diff(docs) <= 0).any():
+        docs, tfs, _ = sort_postings(docs, tfs, None)
+    return docs, tfs
+
+
+def _decode_full(reader, field: str, term: str, blocks) -> Tuple[np.ndarray, np.ndarray]:
+    """Full decode of a term, going through the reader's shared postings cache
+    so repeat queries (WAND or not) stay warm."""
+    hit = reader._post_cache.get((field, term, False))
+    if hit is not None:
+        return hit[0], hit[1]
+    docs, tfs = _decode_blocks(blocks)
+    reader.cache_decoded(field, term, (docs, tfs, None))
+    return docs, tfs
+
+
+def _merge_top_k(results: dict, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Union-sum per-term contributions IN QUERY-CLAUSE ORDER (same float
+    accumulation order as SegmentEval._union, so equal-score ties break
+    identically) and take the exact top-k."""
+    live = [results[i] for i in sorted(results) if results[i][0].size]
+    if not live:
+        return EMPTY
+    docs = np.concatenate([r[0] for r in live])
+    scores = np.concatenate([r[1] for r in live])
+    ud, inv = np.unique(docs, return_inverse=True)
+    sums = np.zeros(ud.size, dtype=np.float64)
+    np.add.at(sums, inv, scores)
+    return top_k(ud, sums, k)

@@ -1,0 +1,123 @@
+"""Block-max WAND: rank+score identity with the plain evaluator, and proof that
+score-skipping actually skips block decodes."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lucille_ray import transcripts as T
+from lucille_ray.index.build import build_index
+from lucille_ray.search.engine import SearchEngine, SegmentScorer
+from lucille_ray.search.eval import SegmentEval, collect_term_requests, top_k
+from lucille_ray.search.wand import wand_parts, wand_top_k
+from lucille_ray.query.parser import parse
+
+OR_QUERIES = [
+    "data OR query",
+    "deploy OR jump OR test OR cat",
+    "the OR data OR query OR join OR jump OR deploy",  # hot + rare mix
+    "data^2 OR query^0.5",
+    "(data OR query OR join)^1.5",
+    "role:assistant OR role:tool",
+    "xylophone42 OR data",
+    "the OR a",  # stopword-ish only
+    "data OR data2 OR nosuchterm",
+]
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("wand"))
+    data_dir = os.path.join(root, "data")
+    index_dir = os.path.join(root, "index")
+    T.generate(5000, data_dir, num_files=2)
+    build_index(T.read_transcripts(data_dir), index_dir, num_segments=2, batch_size=1000)
+    return index_dir
+
+
+@pytest.mark.parametrize("qs", OR_QUERIES, ids=repr)
+@pytest.mark.parametrize("k", [3, 10, 50])
+def test_wand_identical_to_eval(built, qs, k):
+    """WAND top-k == plain SegmentEval top-k, ranks AND scores, per segment."""
+    engine = SearchEngine(built, parallel=False)
+    q, reqs, ctx = engine.plan(qs)
+    parts_scale = wand_parts(q)
+    assert parts_scale is not None, f"{qs!r} should be WAND-eligible"
+    parts, scale = parts_scale
+    scorer = engine._scorers()[0]
+    for r in scorer.readers:
+        if r.doc_count == 0:
+            continue
+        wd, ws = wand_top_k(r, ctx, parts, k)
+        fresh = SegmentEval(r, ctx, collect_term_requests(q), query=q)
+        ed, es = fresh.eval(q)
+        ed, es = top_k(ed, es, k)
+        assert wd.tolist() == ed.tolist(), f"{qs!r} k={k}: rank mismatch"
+        # eval(q) already applies the root boost; scale the WAND side only
+        np.testing.assert_array_equal(ws * scale if scale != 1.0 else ws, es)
+
+
+def test_wand_engine_end_to_end_matches_oracle(built, ray_session):
+    import pyarrow.parquet as pq
+
+    from lucille_ray.search.oracle import BruteForceOracle
+
+    data_dir = os.path.join(os.path.dirname(built), "data")
+    oracle = BruteForceOracle(pq.read_table(data_dir))
+    engine = SearchEngine(built, parallel=False)
+    for qs in OR_QUERIES:
+        got = engine.search(qs, k=10, with_meta=False)
+        exp = oracle.search(qs, k=10)
+        gp = list(zip(got["doc_id"].to_pylist(), got["score"].to_pylist()))
+        assert len(gp) == len(exp), qs
+        for (gd, gscore), (ed, escore) in zip(gp, exp):
+            assert gd == ed, f"{qs!r}: rank differs"
+            assert abs(gscore - escore) < 1e-9, qs
+
+
+def test_wand_actually_skips_decodes(built, monkeypatch):
+    """For a rare-OR-hot query with small k, the hot term must NOT be fully
+    decoded: count docs decoded via the codec."""
+    import lucille_ray.search.wand as wand_mod
+    from lucille_ray.index import codec
+
+    engine = SearchEngine(built, parallel=False)
+    scorer = engine._scorers()[0]
+    r = max(scorer.readers, key=lambda rr: rr.doc_count)
+    # hottest text term in the corpus vs the rare high-idf 'xylophone42'
+    terms, dfs = r.term_dict("text")
+    hot = str(terms[int(np.argmax(dfs))])
+    q, reqs, ctx = engine.plan(f"xylophone42 OR {hot}")
+    parts, scale = wand_parts(q)
+
+    decoded_docs = {"n": 0}
+    real = codec.decode_postings
+
+    def counting(blocks, want_positions=False):
+        out = real(blocks, want_positions)
+        decoded_docs["n"] += out[0].size
+        return out
+
+    monkeypatch.setattr("lucille_ray.index.codec.decode_postings", counting)
+    r._post_cache.clear()
+    r._raw_cache.clear()
+    wand_top_k(r, ctx, parts, k=3)
+    df_hot = ctx.df.get(("text", hot), 0)
+    assert df_hot > r.doc_count // 4  # the premise: the term really is hot
+    # decode must touch far fewer postings than full evaluation would
+    assert decoded_docs["n"] < df_hot // 2, (
+        f"decoded {decoded_docs['n']} docs; full eval would decode ~{df_hot}"
+    )
+
+
+def test_wand_parts_shapes():
+    assert wand_parts(parse("a OR b")) is not None
+    assert wand_parts(parse("(a OR b)^2")) == ([("text", "a", 1.0), ("text", "b", 1.0)], 2.0)
+    assert wand_parts(parse("role:(a OR b)"))[0][0][0] == "role"
+    assert wand_parts(parse("a AND b")) is None
+    assert wand_parts(parse("a OR \"b c\"")) is None  # phrase clause
+    assert wand_parts(parse("a OR -b")) is None  # negative clause
+    assert wand_parts(parse("a OR a")) is None  # duplicate clause float order
+    assert wand_parts(parse("a OR b.c")) is None  # multi-token term
+    assert wand_parts(parse("a")) is None  # single term: plain path
