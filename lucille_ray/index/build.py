@@ -96,34 +96,53 @@ def _conv_partial_counts(batch: pa.Table) -> pa.Table:
     g = (
         pl.from_arrow(batch.select(["conv_id", "turn_idx"]))
         .group_by("conv_id")
-        .agg(pl.len().alias("cnt"), pl.col("turn_idx").max().alias("mx"))
+        .agg(
+            pl.len().alias("cnt"),
+            pl.col("turn_idx").max().alias("mx"),
+            pl.col("turn_idx").cast(pl.Int64).sum().alias("sm"),
+        )
     )
     return g.to_arrow()
 
 
+def _validate_turn_density(
+    convs, counts: np.ndarray, max_turn: np.ndarray, turn_sum: np.ndarray
+) -> None:
+    """turn_idx must be exactly {0..n-1} per conversation: the max check catches
+    truncation, the sum check catches duplicated/missing indices that keep the
+    same max (e.g. [0,0,2]) — those would mint duplicate doc_ids and only
+    surface later as a confusing norms error at query time."""
+    ok = (max_turn + 1 == counts) & (turn_sum == counts * (counts - 1) // 2)
+    if not ok.all():
+        bad = convs[int(np.argmax(~ok))]
+        raise ValueError(
+            f"turn_idx must be dense+unique 0..n-1 per conversation; violated by {bad!r}"
+        )
+
+
 def _conv_offsets(ds) -> Tuple[List[str], np.ndarray, np.ndarray]:
-    """Conversation -> turn count (+ density validation).
+    """Conversation -> turn count (+ density/uniqueness validation).
 
     Pre-aggregated per batch (one partial row per conv per batch) and merged on
     the driver — Ray's generic string-key groupby shuffle measured ~15x slower
-    than this for the same result. Driver merge is O(#convs); at 10^12-turn
-    scale swap for a range-partitioned sort + per-partition offsets pass."""
+    than this for the same result. Driver merge is O(#convs); past
+    ``DOCID_DRIVER_MAX_ROWS`` input rows, ``build_index`` switches to the
+    range-partitioned :func:`_docmap_ranged` path instead."""
     import ray
 
     refs = ds.map_batches(
         _conv_partial_counts, batch_format="pyarrow", batch_size=65536
     ).to_arrow_refs()
     parts = pa.concat_tables(ray.get(refs))
-    merged = parts.group_by("conv_id").aggregate([("cnt", "sum"), ("mx", "max")])
+    merged = parts.group_by("conv_id").aggregate(
+        [("cnt", "sum"), ("mx", "max"), ("sm", "sum")]
+    )
     merged = merged.take(pa.compute.sort_indices(merged["conv_id"]))
     convs = merged["conv_id"].to_pylist()
     counts = merged["cnt_sum"].to_numpy().astype(np.int64)
     max_turn = merged["mx_max"].to_numpy().astype(np.int64)
-    if not (max_turn + 1 == counts).all():
-        bad = convs[int(np.argmax(max_turn + 1 != counts))]
-        raise ValueError(
-            f"turn_idx must be dense 0..n-1 per conversation; violated by {bad!r}"
-        )
+    turn_sum = merged["sm_sum"].to_numpy().astype(np.int64)
+    _validate_turn_density(convs, counts, max_turn, turn_sum)
     bases = np.zeros(len(convs), dtype=np.int64)
     np.cumsum(counts[:-1], out=bases[1:])
     return convs, bases, counts
@@ -161,6 +180,101 @@ def _assign_doc_ids(
     return batch.append_column("doc_id", pa.array(doc_id)).append_column(
         "seg", pa.array(seg.astype(np.int32))
     )
+
+
+#: past this many input rows, build_index's docid_mode="auto" switches from the
+#: driver conv-map merge (O(#conversations) driver memory) to the fully
+#: distributed range-partitioned path
+DOCID_DRIVER_MAX_ROWS = 50_000_000
+
+
+def _conv_block_stats(tbl: pa.Table) -> Tuple[int, int]:
+    """Validate one sorted conv-count block and return (n_convs, total_turns)."""
+    counts = tbl["sum(cnt)"].to_numpy().astype(np.int64)
+    max_turn = tbl["max(mx)"].to_numpy().astype(np.int64)
+    turn_sum = tbl["sum(sm)"].to_numpy().astype(np.int64)
+    _validate_turn_density(tbl["conv_id"].to_pylist(), counts, max_turn, turn_sum)
+    return tbl.num_rows, int(counts.sum())
+
+
+def _conv_block_bases(tbl: pa.Table, block_base: int) -> pa.Table:
+    """One sorted conv-count block + its global base -> (conv_id, base, cnt)."""
+    counts = tbl["sum(cnt)"].to_numpy().astype(np.int64)
+    bases = np.full(counts.size, block_base, dtype=np.int64)
+    np.cumsum(counts[:-1], out=bases[1:])
+    bases[1:] += block_base
+    return pa.table(
+        {
+            "conv_id": tbl["conv_id"],
+            "base": pa.array(bases),
+            "cnt": pa.array(counts),
+        }
+    )
+
+
+def _seg_bounds_partial(
+    tbl: pa.Table, seg_target: int, num_segments: int
+) -> List[Tuple[int, int, int]]:
+    """Per-segment (seg, lo, hi) partials from one (conv_id, base, cnt) block."""
+    base = tbl["base"].to_numpy()
+    cnt = tbl["cnt"].to_numpy()
+    seg = np.minimum(base // seg_target, num_segments - 1)
+    out = []
+    for s in np.unique(seg):
+        m = seg == s
+        out.append((int(s), int(base[m].min()), int((base[m] + cnt[m]).max())))
+    return out
+
+
+def _assign_from_base(batch: pa.Table, seg_target: int, num_segments: int) -> pa.Table:
+    """Post-join doc-id assignment: rows already carry the conversation base."""
+    _limit_worker_threads()
+    base = batch["base"].to_numpy(zero_copy_only=False).astype(np.int64)
+    turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_id = base + turn
+    seg = np.minimum(base // seg_target, num_segments - 1)
+    keep = [c for c in batch.column_names if c not in ("base", "cnt")]
+    out = batch.select(keep)
+    return out.append_column("doc_id", pa.array(doc_id)).append_column(
+        "seg", pa.array(seg.astype(np.int32))
+    )
+
+
+def _docmap_ranged(ds, num_segments_hint: int):
+    """Fully distributed conversation-offset assignment (no O(#convs) driver
+    state): per-batch partial counts -> distributed groupby(conv_id) sum ->
+    range-partitioned sort(conv_id) -> per-block totals (driver holds only
+    O(#blocks) integers) -> per-block prefixed base tables left IN the object
+    store. Returns (conv_bases_ds, base_refs, total_docs, n_convs).
+
+    The caller joins the input against conv_bases_ds on conv_id (distributed
+    hash join) instead of broadcasting a driver dict — the 10^12-turn path the
+    docstring of :func:`_conv_offsets` promises."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    agg = (
+        ds.map_batches(_conv_partial_counts, batch_format="pyarrow", batch_size=65536)
+        .groupby("conv_id")
+        .aggregate(Sum("cnt"), Max("mx"), Sum("sm"))
+    )
+    sorted_counts = agg.sort("conv_id").materialize()
+    refs = sorted_counts.to_arrow_refs()
+    stats_task = ray.remote(num_cpus=0.5)(_conv_block_stats)
+    stats = ray.get([stats_task.remote(r) for r in refs])
+    totals = np.array([s[1] for s in stats], dtype=np.int64)
+    n_convs = int(sum(s[0] for s in stats))
+    total_docs = int(totals.sum())
+    block_bases = np.zeros(len(refs), dtype=np.int64)
+    if len(refs) > 1:
+        np.cumsum(totals[:-1], out=block_bases[1:])
+    base_task = ray.remote(num_cpus=0.5)(_conv_block_bases)
+    base_refs = [
+        base_task.remote(r, int(b)) for r, b in zip(refs, block_bases)
+    ]
+    conv_ds = ray.data.from_arrow_refs(base_refs)
+    return conv_ds, base_refs, total_docs, n_convs
 
 
 # ---------------------------------------------------------------------------
@@ -471,11 +585,25 @@ def build_index(
     batch_size: Optional[int] = 4096,
     resume: bool = True,
     layout: str = "doc_partitioned",
+    docid_mode: str = "auto",
 ) -> dict:
     """Build (or resume building) an index over a transcripts Dataset.
 
     Returns the index meta dict. Re-running with ``resume=True`` skips segments
     whose manifest is complete — the checkpoint/resume contract of north_rule.
+
+    ``docid_mode``: how conversation base offsets are assigned.
+
+    * ``driver`` — per-batch partial counts merged on the driver, conv->base
+      broadcast via ``ray.put`` (fast at small/medium scale; O(#conversations)
+      driver memory).
+    * ``ranged`` — fully distributed: groupby(conv_id) -> sort(conv_id) ->
+      per-block prefix offsets in the object store -> distributed hash join of
+      the input against the base table. Driver holds O(#blocks) integers only;
+      the 10^12-turn path.
+    * ``auto`` (default) — ``ranged`` when the input exceeds
+      ``DOCID_DRIVER_MAX_ROWS`` rows (``ds.count()`` is metadata-cheap for
+      parquet reads), else ``driver``.
 
     ``layout``:
 
@@ -513,34 +641,74 @@ def build_index(
             import shutil
 
             shutil.rmtree(docmapped_root)
+        mode = docid_mode
+        if mode == "auto":
+            try:
+                mode = "ranged" if ds.count() > DOCID_DRIVER_MAX_ROWS else "driver"
+            except Exception:
+                mode = "driver"
         t0 = time.time()
-        convs, bases, counts = _conv_offsets(ds)
-        _tick("conv_offsets", t0)
-        total_docs = int(counts.sum())
-        num_segments = max(1, min(num_segments, len(convs)))
-        seg_target = -(-total_docs // num_segments)  # ceil
-        conv_map_ref = ray.put(
-            pa.table({"conv_id": pa.array(convs, pa.string()), "base": pa.array(bases)})
-        )
-        mapped = ds.map_batches(
-            _assign_doc_ids,
-            fn_args=(conv_map_ref, seg_target, num_segments),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-        )
+        if mode == "ranged":
+            conv_ds, base_refs, total_docs, n_convs = _docmap_ranged(ds, num_segments)
+            _tick("conv_offsets_ranged", t0)
+            num_segments = max(1, min(num_segments, n_convs))
+            seg_target = -(-total_docs // num_segments) if total_docs else 1  # ceil
+            bounds_task = ray.remote(num_cpus=0.5)(_seg_bounds_partial)
+            partials = ray.get(
+                [bounds_task.remote(r, seg_target, num_segments) for r in base_refs]
+            )
+            seg_bounds = {str(s): [0, 0] for s in range(num_segments)}
+            seen = set()
+            for part in partials:
+                for s, lo_p, hi_p in part:
+                    key = str(s)
+                    if s in seen:
+                        seg_bounds[key] = [
+                            min(seg_bounds[key][0], lo_p),
+                            max(seg_bounds[key][1], hi_p),
+                        ]
+                    else:
+                        seg_bounds[key] = [lo_p, hi_p]
+                        seen.add(s)
+            mapped = ds.join(
+                conv_ds,
+                join_type="inner",
+                num_partitions=max(8, num_segments * 2),
+                on=("conv_id",),
+            ).map_batches(
+                _assign_from_base,
+                fn_args=(seg_target, num_segments),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            )
+        else:
+            convs, bases, counts = _conv_offsets(ds)
+            _tick("conv_offsets", t0)
+            total_docs = int(counts.sum())
+            num_segments = max(1, min(num_segments, len(convs)))
+            seg_target = -(-total_docs // num_segments)  # ceil
+            conv_map_ref = ray.put(
+                pa.table({"conv_id": pa.array(convs, pa.string()), "base": pa.array(bases)})
+            )
+            mapped = ds.map_batches(
+                _assign_doc_ids,
+                fn_args=(conv_map_ref, seg_target, num_segments),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            )
+            seg_bounds = {}
+            seg_of_conv = np.minimum(bases // seg_target, num_segments - 1)
+            for s in range(num_segments):
+                mask = seg_of_conv == s
+                if mask.any():
+                    lo = int(bases[mask][0])
+                    hi = int(bases[mask][-1] + counts[mask][-1])
+                else:
+                    lo = hi = 0
+                seg_bounds[str(s)] = [lo, hi]
         t0 = time.time()
         mapped.write_parquet(docmapped_root, partition_cols=["seg"])
         _tick("docmap_write", t0)
-        seg_bounds = {}
-        seg_of_conv = np.minimum(bases // seg_target, num_segments - 1)
-        for s in range(num_segments):
-            mask = seg_of_conv == s
-            if mask.any():
-                lo = int(bases[mask][0])
-                hi = int(bases[mask][-1] + counts[mask][-1])
-            else:
-                lo = hi = 0
-            seg_bounds[str(s)] = [lo, hi]
         meta = {
             "version": INDEX_FORMAT_VERSION,
             "fields": list(fields),
@@ -615,7 +783,20 @@ def _build_segment(
     os.makedirs(seg_dir, exist_ok=True)
     seg_input = os.path.join(docmapped_root, f"seg={seg}")
     lo, hi = seg_bounds
-    if not os.path.isdir(seg_input) or lo == hi:
+    if not os.path.isdir(seg_input):
+        if lo != hi:
+            # the docmap says this segment holds docs [lo, hi) but its input
+            # directory is gone (e.g. docmapped/ deleted while index_meta.json
+            # survived) — committing an empty 'complete' manifest would silently
+            # serve an index missing all of those documents
+            raise ValueError(
+                f"segment {seg} input {seg_input} is missing but seg_bounds says "
+                f"docs [{lo}, {hi}) live there; delete {INDEX_META_FILE} (or the "
+                "whole index dir) to rebuild the docmap"
+            )
+        _write_manifest(index_dir, seg, seg_input, 0, 0, fields, empty=True)
+        return
+    if lo == hi:
         _write_manifest(index_dir, seg, seg_input, 0, 0, fields, empty=True)
         return
 

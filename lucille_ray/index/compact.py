@@ -50,8 +50,26 @@ def _merge_pieces(group: pa.Table) -> pa.Table:
     )
 
 
+def _recover_interrupted_swap(postings_path: str) -> None:
+    """The publish below is two renames; a crash in between leaves ``.bak``
+    present and ``postings.parquet`` missing. Finish or roll back before
+    compacting so a re-run always starts from a readable segment."""
+    bak = postings_path + ".bak"
+    tmp = postings_path + ".compact"
+    if os.path.isdir(postings_path):
+        return
+    if os.path.isdir(tmp):
+        # crashed between the two renames with the new dir complete: finish
+        os.rename(tmp, postings_path)
+        shutil.rmtree(bak, ignore_errors=True)
+    elif os.path.isdir(bak):
+        # crashed after moving the old dir aside but the new one is gone: restore
+        os.rename(bak, postings_path)
+
+
 def compact_index(index_dir: str, *, resume: bool = True) -> None:
-    """Compact every segment's postings in place (atomic swap per segment)."""
+    """Compact every segment's postings in place (atomic swap per segment;
+    interrupted swaps from a previous crash are repaired on entry)."""
     import ray.data
 
     seg_root = os.path.join(index_dir, "segments")
@@ -62,9 +80,12 @@ def compact_index(index_dir: str, *, resume: bool = True) -> None:
             continue
         with open(manifest_path) as f:
             manifest = json.load(f)
-        if manifest.get("empty") or (resume and manifest.get("compacted")):
+        if manifest.get("empty"):
             continue
         postings_path = os.path.join(seg_dir, "postings.parquet")
+        _recover_interrupted_swap(postings_path)
+        if resume and manifest.get("compacted") and os.path.isdir(postings_path):
+            continue
         tmp_path = postings_path + ".compact"
         shutil.rmtree(tmp_path, ignore_errors=True)
         ds = ray.data.read_parquet(postings_path)

@@ -253,6 +253,14 @@ class SearchEngine:
                 expanded.setdefault(spec, set()).update(terms)
             for key, v in dfs.items():
                 df[key] = df.get(key, 0) + v
+        for spec, terms in expanded.items():
+            # per-scorer resolve bounds each SEGMENT's expansion; the documented
+            # maxClauseCount-style bound applies to the cross-segment union too
+            if len(terms) > MAX_EXPANSIONS:
+                raise ValueError(
+                    f"{spec.kind} expansion exceeds {MAX_EXPANSIONS} terms "
+                    f"across segments ({len(terms)})"
+                )
         stats = self._global_stats()
         ctx = EvalContext(
             n_docs=stats["n_docs"],

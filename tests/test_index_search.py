@@ -193,6 +193,92 @@ def test_hot_term_skew_build(ray_session, tmp_path):
     assert eng.match_all("hot").num_rows == n
 
 
+def test_ranged_docid_mode_identical_results(built, oracle, tmp_path):
+    """docid_mode='ranged' (distributed sort + hash join, no driver conv map)
+    must produce an identical index: same doc ids, same search results."""
+    data_dir, _, _ = built
+    ds = T.read_transcripts(data_dir)
+    index_dir = str(tmp_path / "ranged_idx")
+    build_index(
+        ds, index_dir, num_segments=2, range_width=256, batch_size=400,
+        docid_mode="ranged",
+    )
+    mapped = pq.read_table(
+        os.path.join(index_dir, "docmapped"), columns=["conv_id", "turn_idx", "doc_id"]
+    )
+    order = pc.sort_indices(
+        mapped, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    mapped = mapped.take(order)
+    assert mapped["doc_id"].to_pylist() == list(range(N_TURNS))
+    engine = SearchEngine(index_dir, parallel=False)
+    for qs in QUERY_SET[::5]:
+        _compare(engine, oracle, qs)
+
+
+def test_turn_idx_duplicate_detection(ray_session, tmp_path):
+    """[0,0,2] has the right count and max but duplicated indices — the build
+    must fail fast instead of minting duplicate doc_ids."""
+    import ray.data
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c0", "c0", "c0"]),
+            "turn_idx": pa.array([0, 0, 2], pa.int32()),
+            "role": pa.array(["user"] * 3),
+            "text": pa.array(["a", "b", "c"]),
+            "tool": pa.array(["none"] * 3),
+            "ts": pa.array([1, 2, 3], pa.timestamp("us")),
+        }
+    )
+    data = str(tmp_path / "dup.parquet")
+    pq.write_table(t, data)
+    with pytest.raises(Exception, match="dense"):
+        build_index(
+            ray.data.read_parquet(data), str(tmp_path / "dup_idx"), num_segments=1
+        )
+
+
+def test_missing_seg_input_with_docs_is_an_error(built, tmp_path):
+    """docmapped/ deleted while index_meta.json survives must raise, not write
+    an empty 'complete' manifest that silently drops the segment's docs."""
+    data_dir, _, _ = built
+    ds = T.read_transcripts(data_dir)
+    index_dir = str(tmp_path / "gone_idx")
+    build_index(ds, index_dir, num_segments=2, batch_size=400)
+    shutil.rmtree(os.path.join(index_dir, "docmapped"))
+    shutil.rmtree(os.path.join(index_dir, "segments"))
+    with pytest.raises(ValueError, match="missing"):
+        build_index(ds, index_dir, num_segments=2, batch_size=400)
+
+
+def test_compaction_recovers_interrupted_swap(built, oracle, tmp_path):
+    """A crash between the two publish renames leaves the segment with no
+    postings.parquet; re-running compact_index must repair and still serve
+    identical results."""
+    from lucille_ray.index import compact_index
+
+    data_dir, _, _ = built
+    ds = T.read_transcripts(data_dir)
+    index_dir = str(tmp_path / "swapidx")
+    build_index(ds, index_dir, num_segments=1, range_width=128, batch_size=300)
+    compact_index(index_dir)
+    post = os.path.join(index_dir, "segments", "seg-00000", "postings.parquet")
+    # simulate the mid-swap crash: old moved aside, new never moved in
+    os.rename(post, post + ".bak")
+    compact_index(index_dir)  # must restore from .bak, not crash in read_parquet
+    engine = SearchEngine(index_dir, parallel=False)
+    _compare(engine, oracle, "data AND query")
+    # the complementary crash: new dir complete under .compact, old gone
+    os.rename(post, post + ".compact")
+    compact_index(index_dir)
+    engine = SearchEngine(index_dir, parallel=False)
+    _compare(engine, oracle, '"lazy evaluation"')
+    assert os.path.isdir(post)
+    assert not os.path.exists(post + ".bak")
+    assert not os.path.exists(post + ".compact")
+
+
 def test_compaction_preserves_results(built, oracle, tmp_path):
     """compact_index merges doc-partitioned pieces; results stay rank-identical
     and re-compaction is a resume no-op."""
