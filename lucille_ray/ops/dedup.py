@@ -56,28 +56,127 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+#
+# Hash contract (EXACT integer math, reproducible in both numpy and DuckDB SQL,
+# which is what turns the LSH pipeline into a driver-checked entry):
+#
+#   u(token)       = md5_number_lower(token) % P        (P = 2^31 - 1)
+#                    where md5_number_lower is DuckDB's: the little-endian
+#                    integer of md5-digest bytes [8:16]
+#   shingle s      = fold over the window's tokens: cur = (cur*C + u) % P
+#   perm h_i(s)    = (a_i * s + b_i) % P,  a_i,b_i < P seeded constants
+#   sig_i          = min over shingles of h_i  (P when the doc has no tokens)
+#   bucket(band)   = fold over the band's sig rows: cur = (cur*C + sig) % P
+#
+# Every intermediate is < 2^31, every product < 2^62 — exact in both int64/
+# uint64 numpy and DuckDB BIGINT. See oracle_sql.minhash_sql for the SQL twin.
+
+P31 = 2147483647  # 2^31 - 1
+FOLD_C = 1000003
 
 
-def _token_shingle_hashes(tokens: List[str], k: int) -> np.ndarray:
-    """Stable 64-bit hashes of the k-token shingles of one document."""
-    if len(tokens) < k:
-        joined = [" ".join(tokens)] if tokens else []
-    else:
-        joined = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
-    if not joined:
-        return np.empty(0, dtype=np.uint64)
-    out = np.fromiter(
+def _md5_low_mod(tokens: Sequence[str], mod: Optional[int] = P31) -> np.ndarray:
+    """md5_number_lower per token (optionally mod P31) — C-speed hashlib, called
+    only over the batch's UNIQUE tokens."""
+    if mod is None:
+        return np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little")
+                for t in tokens
+            ),
+            dtype=np.uint64,
+            count=len(tokens),
+        )
+    return np.fromiter(
         (
-            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
-            for s in set(joined)
+            int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little") % mod
+            for t in tokens
         ),
         dtype=np.uint64,
+        count=len(tokens),
     )
-    return out
+
+
+def _flat_token_us(batch_col) -> Tuple[np.ndarray, np.ndarray]:
+    """Tokenize a string column -> (flat token u-values, tokens-per-doc counts).
+    md5 runs once per unique token of the batch (vocab), then fans out by code."""
+    toks = arrow_tokenize(batch_col)
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    counts = np.nan_to_num(counts, nan=0).astype(np.int64)
+    flat = toks.flatten()
+    if len(flat) == 0:
+        return np.empty(0, np.uint64), counts
+    denc = flat.dictionary_encode()
+    vocab = denc.dictionary.to_pylist()
+    u_vocab = _md5_low_mod(vocab)
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return u_vocab[codes], counts
+
+
+def _shingle_folds(us: np.ndarray, counts: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """All k-token shingle hashes, vectorized over the whole batch.
+
+    Docs with >= k tokens contribute n-k+1 windows; shorter non-empty docs
+    contribute ONE shingle folding all their tokens. Returns (shingle values,
+    shingles-per-doc counts); values are grouped by doc in doc order."""
+    n_docs = counts.size
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    total = int(offsets[-1])
+    doc_of_tok = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    C = np.uint64(FOLD_C)
+    P = np.uint64(P31)
+
+    # long docs: every start p with p..p+k-1 inside one doc
+    long_vals = np.empty(0, np.uint64)
+    long_doc = np.empty(0, np.int64)
+    if total >= k:
+        starts = np.arange(total - k + 1, dtype=np.int64)
+        valid = doc_of_tok[starts] == doc_of_tok[starts + k - 1]
+        starts = starts[valid]
+        if starts.size:
+            s = np.zeros(starts.size, dtype=np.uint64)
+            for j in range(k):
+                s = (s * C + us[starts + j]) % P
+            long_vals, long_doc = s, doc_of_tok[starts]
+
+    # short docs (0 < n < k): one fold over all their tokens
+    short_mask = (counts > 0) & (counts < k)
+    short_vals = np.empty(0, np.uint64)
+    short_doc = np.empty(0, np.int64)
+    if short_mask.any():
+        sdocs = np.flatnonzero(short_mask)
+        s = np.zeros(sdocs.size, dtype=np.uint64)
+        base = offsets[sdocs]
+        ln = counts[sdocs]
+        for j in range(k - 1):
+            live = ln > j
+            s[live] = (s[live] * C + us[base[live] + j]) % P
+        short_vals, short_doc = s, sdocs
+
+    vals = np.concatenate([long_vals, short_vals])
+    docs = np.concatenate([long_doc, short_doc])
+    order = np.argsort(docs, kind="stable")
+    vals, docs = vals[order], docs[order]
+    per_doc = np.zeros(n_docs, dtype=np.int64)
+    if docs.size:
+        uniq, cnt = np.unique(docs, return_counts=True)
+        per_doc[uniq] = cnt
+    return vals, per_doc
+
+
+def minhash_params(num_perm: int, seed: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Seeded (a, b) permutation constants < P31 — shared with the SQL oracle."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, P31, num_perm, dtype=np.int64)
+    b = rng.integers(0, P31, num_perm, dtype=np.int64)
+    return a, b
 
 
 class MinHasher:
-    """Stateful map_batches callable: permutation parameters built once per actor."""
+    """Stateful map_batches callable: permutation parameters built once per actor.
+    Fully vectorized: md5 once per unique batch token, numpy folds for shingles,
+    one (num_perm)-loop of whole-batch universal hashing + segmented min."""
 
     def __init__(
         self,
@@ -89,9 +188,9 @@ class MinHasher:
         seed: int = 42,
     ):
         assert num_perm % bands == 0
-        rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+        a, b = minhash_params(num_perm, seed)
+        self.a = a.astype(np.uint64)
+        self.b = b.astype(np.uint64)
         self.num_perm = num_perm
         self.bands = bands
         self.rows_per_band = num_perm // bands
@@ -99,30 +198,50 @@ class MinHasher:
         self.text_col = text_col
         self.id_col = id_col
 
+    def _sig_matrix(self, vals: np.ndarray, per_doc: np.ndarray) -> np.ndarray:
+        """(n_docs, num_perm) signature matrix from doc-grouped shingle values."""
+        n_docs = per_doc.size
+        sigs = np.full((n_docs, self.num_perm), P31, dtype=np.uint64)
+        nz = per_doc > 0
+        if not nz.any():
+            return sigs
+        seg_starts = np.zeros(per_doc.size, dtype=np.int64)
+        np.cumsum(per_doc[:-1], out=seg_starts[1:])
+        starts_nz = seg_starts[nz]
+        P = np.uint64(P31)
+        for i in range(self.num_perm):
+            h = (self.a[i] * vals + self.b[i]) % P
+            sigs[nz, i] = np.minimum.reduceat(h, starts_nz)
+        return sigs
+
     def signature(self, tokens: List[str]) -> np.ndarray:
-        sh = _token_shingle_hashes(tokens, self.k)
-        if sh.size == 0:
-            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
-        # (num_perm, n_shingles) universal hashing, vectorized
-        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
-        return vals.min(axis=1)
+        """Signature of one token list (test/verification helper)."""
+        us = (
+            _md5_low_mod(tokens)
+            if tokens
+            else np.empty(0, np.uint64)
+        )
+        vals, per_doc = _shingle_folds(us, np.array([len(tokens)], np.int64), self.k)
+        return self._sig_matrix(vals, per_doc)[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        toks = arrow_tokenize(batch[self.text_col]).to_pylist()
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        sigs = np.stack([self.signature(t or []) for t in toks]) if toks else np.empty((0, self.num_perm), np.uint64)
-        # one row per (doc, band): bucket = hash of the band slice
+        us, counts = _flat_token_us(batch[self.text_col])
+        vals, per_doc = _shingle_folds(us, counts, self.k)
+        sigs = self._sig_matrix(vals, per_doc)
         n = len(ids)
+        # one row per (doc, band): bucket = fold of the band's signature rows
         band_ids = np.tile(np.arange(self.bands, dtype=np.int32), n)
         doc_rep = np.repeat(ids, self.bands)
         buckets = np.empty(n * self.bands, dtype=np.uint64)
         r = self.rows_per_band
+        C = np.uint64(FOLD_C)
+        P = np.uint64(P31)
         for bi in range(self.bands):
             sl = sigs[:, bi * r : (bi + 1) * r]
-            # mix the band rows into one bucket key
             acc = np.zeros(n, dtype=np.uint64)
             for j in range(r):
-                acc = acc * np.uint64(1000003) + sl[:, j]
+                acc = (acc * C + sl[:, j]) % P
             buckets[bi::self.bands] = acc
         return pa.table(
             {
@@ -144,33 +263,47 @@ def minhash_signatures(ds, **kw):
     )
 
 
+#: above this bucket size, pair enumeration switches from all-pairs (O(n^2)) to
+#: star pairing against the bucket's smallest doc id — keeps the near-dup graph
+#: CONNECTED inside the bucket (what cluster-then-keep-one dedup needs) at O(n)
+#: rows, so one adversarial hash bucket can't blow up a task
+MAX_BUCKET_FULL_PAIRS = 256
+
+
 def _bucket_pairs(group) -> "pa.Table":
-    """Within one (band, bucket): emit candidate pairs with estimated Jaccard."""
+    """Within one (band, bucket): candidate pairs with estimated Jaccard
+    (signature agreement), fully vectorized."""
     ids = group["doc_id"].to_numpy(zero_copy_only=False)
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
     if ids.size < 2:
-        return pa.table(
-            {
-                "a": pa.array([], pa.int64()),
-                "b": pa.array([], pa.int64()),
-                "est_jaccard": pa.array([], pa.float64()),
-            }
-        )
-    sigs = np.asarray(group["signature"].to_pylist(), dtype=np.int64)
+        return empty
+    col = group["signature"].combine_chunks()
+    num_perm = col.type.list_size
+    sigs = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, num_perm)
     order = np.argsort(ids, kind="stable")
     ids, sigs = ids[order], sigs[order]
-    a_out, b_out, sim = [], [], []
-    for i in range(ids.size):
-        for j in range(i + 1, ids.size):
-            if ids[i] == ids[j]:
-                continue
-            a_out.append(int(ids[i]))
-            b_out.append(int(ids[j]))
-            sim.append(float((sigs[i] == sigs[j]).mean()))
+    n = ids.size
+    if n <= MAX_BUCKET_FULL_PAIRS:
+        ai, bj = np.triu_indices(n, k=1)
+    else:
+        ai = np.zeros(n - 1, dtype=np.int64)
+        bj = np.arange(1, n, dtype=np.int64)
+    keep = ids[ai] != ids[bj]
+    ai, bj = ai[keep], bj[keep]
+    if not ai.size:
+        return empty
+    sim = (sigs[ai] == sigs[bj]).mean(axis=1)
     return pa.table(
         {
-            "a": pa.array(a_out, pa.int64()),
-            "b": pa.array(b_out, pa.int64()),
-            "est_jaccard": pa.array(sim, pa.float64()),
+            "a": pa.array(ids[ai].astype(np.int64)),
+            "b": pa.array(ids[bj].astype(np.int64)),
+            "est_jaccard": pa.array(sim.astype(np.float64)),
         }
     )
 
@@ -196,37 +329,50 @@ def minhash_dedup(ds, threshold: float = 0.8, **kw):
 # ---------------------------------------------------------------------------
 
 
+SIMHASH_BITS = 32
+
+
 class SimHasher:
-    """64-bit SimHash over the token multiset (md5-derived token hashes)."""
+    """SimHash over the token multiset — fully vectorized (md5 once per unique
+    batch token; segmented bit-vote sums via np.add.reduceat).
+
+    32 bits so the token hash (md5_number_lower, the DuckDB-reproducible
+    contract shared with oracle_sql.simhash_sql) covers every bit position with
+    plain integer shifts on both sides."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
         self.id_col = id_col
-        self._cache: dict = {}
-
-    def _token_hash(self, tok: str) -> int:
-        h = self._cache.get(tok)
-        if h is None:
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
-            self._cache[tok] = h
-        return h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        toks_col = arrow_tokenize(batch[self.text_col]).to_pylist()
-        out = np.zeros(len(toks_col), dtype=np.uint64)
-        for i, toks in enumerate(toks_col):
-            if not toks:
-                continue
-            hashes = np.fromiter(
-                (self._token_hash(t) for t in toks), dtype=np.uint64, count=len(toks)
-            )
-            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-            votes = bits.sum(axis=0) * 2 - len(toks)
-            out[i] = np.packbits((votes > 0).astype(np.uint8)[::-1]).view(">u8")[0]
+        toks = arrow_tokenize(batch[self.text_col])
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        counts = np.nan_to_num(counts, nan=0).astype(np.int64)
+        n_docs = counts.size
+        out = np.zeros(n_docs, dtype=np.int64)
+        flat = toks.flatten()
+        if len(flat):
+            denc = flat.dictionary_encode()
+            vocab = denc.dictionary.to_pylist()
+            u_vocab = _md5_low_mod(vocab, mod=None)
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+            contrib_vocab = (
+                ((u_vocab[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+                * 2
+                - 1
+            )  # (n_vocab, bits) in {-1, +1}
+            contrib = contrib_vocab[codes]
+            nz = counts > 0
+            seg_starts = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(counts[:-1], out=seg_starts[1:])
+            votes = np.add.reduceat(contrib, seg_starts[nz], axis=0)
+            weights = np.int64(1) << np.arange(SIMHASH_BITS, dtype=np.int64)
+            out[nz] = ((votes > 0).astype(np.int64) * weights[None, :]).sum(axis=1)
         return pa.table(
             {
                 "doc_id": batch[self.id_col],
-                "simhash": pa.array(out.astype(np.int64)),
+                "simhash": pa.array(out),
             }
         )
 

@@ -203,3 +203,114 @@ def search_sql(
         f"WITH {TRANSCRIPTS_SQL_CTE},\n{field_ctes(fields)}\n"
         + bool_query(clauses, mode=mode, min_match=min_match, exclude=exclude, k=k)
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash / SimHash twins (exact integer hash contract — see ops/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def _fold_expr(operands: Sequence[str], c: int, p: int) -> str:
+    """cur = (cur*C + x) % P left fold with init 0 (first step reduces to x%P...
+    operands here are already < P, so the first step is the bare operand)."""
+    expr = operands[0]
+    for x in operands[1:]:
+        expr = f"(({expr}) * {c} + {x}) % {p}"
+    return expr
+
+
+def minhash_sql(
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    bands: int = 16,
+    seed: int = 42,
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """SQL twin of ops.dedup.MinHasher: (doc_id, band, bucket) rows, bit-exact.
+
+    Reuses the identical seeded permutation constants (inlined as VALUES) and
+    the identical fold/universal-hash arithmetic mod 2^31-1 — every product
+    stays below 2^62, exact in DuckDB BIGINT and numpy uint64 alike."""
+    from .ops.dedup import FOLD_C, P31, minhash_params
+
+    a, b = minhash_params(num_perm, seed)
+    perm_rows = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm)
+    )
+    r = num_perm // bands
+    k = shingle_k
+    te = tokens_expr(text_col)
+    win = _fold_expr([f"us[i + {j}]" for j in range(k)], FOLD_C, P31)
+    short_cases = "\n".join(
+        f"    WHEN n = {m} THEN [{_fold_expr([f'us[{j + 1}]' for j in range(m)], FOLD_C, P31)}]"
+        for m in range(k - 1, 0, -1)
+    )
+    bucket_fold = _fold_expr([f"ss[{j + 1}]" for j in range(r)], FOLD_C, P31)
+    return f"""WITH tok AS (
+  SELECT {id_col} AS doc_id, {te} AS toks FROM {table}
+),
+u AS (
+  SELECT doc_id,
+         list_transform(toks, t -> CAST(md5_number_lower(t) % {P31} AS BIGINT)) AS us,
+         len(toks) AS n
+  FROM tok
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN n >= {k} THEN list_transform(range(1, n - {k} + 2), i -> {win})
+{short_cases}
+    ELSE [] END AS shs
+  FROM u
+),
+shing AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+perms(i, a, b) AS (VALUES {perm_rows}),
+sig AS (
+  SELECT t.doc_id, p.i, min((p.a * t.s + p.b) % {P31}) AS sv
+  FROM shing t CROSS JOIN perms p
+  GROUP BY t.doc_id, p.i
+),
+sigf AS (
+  SELECT d.doc_id, p.i, coalesce(s.sv, {P31}) AS sv
+  FROM (SELECT {id_col} AS doc_id FROM {table}) d
+  CROSS JOIN perms p
+  LEFT JOIN sig s ON s.doc_id = d.doc_id AND s.i = p.i
+),
+bandagg AS (
+  SELECT doc_id, i // {r} AS band, list(sv ORDER BY i) AS ss
+  FROM sigf GROUP BY doc_id, i // {r}
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(band AS INT) AS band,
+       CAST({bucket_fold} AS BIGINT) AS bucket
+FROM bandagg"""
+
+
+def simhash_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """SQL twin of ops.dedup.SimHasher (32-bit, md5_number_lower token hashes)."""
+    from .ops.dedup import SIMHASH_BITS
+
+    te = tokens_expr(text_col)
+    return f"""WITH tok AS (
+  SELECT {id_col} AS doc_id, unnest({te}) AS tk FROM {table}
+),
+bits AS (
+  SELECT doc_id, ks.k AS k,
+         sum(CASE WHEN (md5_number_lower(tk) >> ks.k) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM tok CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BITS})) AS k) ks
+  GROUP BY doc_id, ks.k
+),
+sh AS (
+  SELECT doc_id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT CAST(d.{id_col} AS BIGINT) AS doc_id,
+       CAST(coalesce(sh.simhash, 0) AS BIGINT) AS simhash
+FROM {table} d LEFT JOIN sh ON sh.doc_id = d.{id_col}"""

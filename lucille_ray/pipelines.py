@@ -473,9 +473,10 @@ def registry() -> Dict[str, tuple]:
             filter_all_matches_q,
             osql.search_sql([_tc("join"), _tc("hash")], mode="and", k=None),
         ),
-        # rows-only (non-SQL-expressible) ops
-        "minhash_lsh": (minhash_q, None),
-        "simhash": (simhash_q, None),
+        # hash-contract ops: md5_number_lower + mod-2^31 integer folds make the
+        # LSH signatures exactly reproducible in SQL (oracle_sql.minhash_sql)
+        "minhash_lsh": (minhash_q, osql.minhash_sql()),
+        "simhash": (simhash_q, osql.simhash_sql()),
         "image_features": (image_features_q, None),
         "ivf_knn": (ivf_knn_q, _sql_knn()),
     }
