@@ -175,8 +175,55 @@ def simhash_q(sf_dir: str):
 
 
 def image_features_q(sf_dir: str):
+    """Multimodal plumbing end-to-end. The fake payload is md5("img-"+doc_id)
+    bytes tiled to 8x8x3, so the pixel stats have an exact SQL twin that
+    re-derives the digest bytes via md5_number_upper/lower — the whole Ray-side
+    attach -> actor-pool decode -> feature path is driver-hash-checked."""
+
+    def rounded(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "image_width": t["image_width"],
+                "image_height": t["image_height"],
+                "pix_mean_r": pc.round(t["pix_mean"], 4),
+                "pix_std_r": pc.round(t["pix_std"], 4),
+            }
+        )
+
     ds = attach_fake_images(_documents(sf_dir, ["doc_id"]), side=8)
-    return image_features(ds, batch_size=64)
+    return image_features(ds, batch_size=64).map_batches(
+        rounded, batch_format="pyarrow"
+    )
+
+
+def _sql_image_features() -> str:
+    """Exact twin of FakeImageCodec stats: the 8x8x3 payload tiles the 16 md5
+    digest bytes exactly 12x, so mean/std over 192 pixels equal mean/std over
+    the 16 digest bytes. Byte j of the digest is a shift of DuckDB's
+    md5_number_upper (j<8, little-endian of bytes 0..7) / md5_number_lower."""
+    return """WITH h AS (
+  SELECT doc_id,
+         md5_number_upper('img-' || CAST(doc_id AS VARCHAR)) AS hu,
+         md5_number_lower('img-' || CAST(doc_id AS VARCHAR)) AS hl
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id,
+         CASE WHEN js.j < 8 THEN (hu >> (8 * js.j)) & 255
+              ELSE (hl >> (8 * (js.j - 8))) & 255 END AS v
+  FROM h CROSS JOIN (SELECT unnest(range(0, 16)) AS j) js
+),
+agg AS (
+  SELECT doc_id, CAST(sum(v) AS DOUBLE) AS s, CAST(sum(v * v) AS DOUBLE) AS s2
+  FROM bytes GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(8 AS INT) AS image_width,
+       CAST(8 AS INT) AS image_height,
+       round(s / 16.0, 4) AS pix_mean_r,
+       round(sqrt(s2 / 16.0 - (s / 16.0) * (s / 16.0)), 4) AS pix_std_r
+FROM agg"""
 
 
 def embedding_near_dups_q(sf_dir: str) -> pa.Table:
@@ -477,7 +524,7 @@ def registry() -> Dict[str, tuple]:
         # LSH signatures exactly reproducible in SQL (oracle_sql.minhash_sql)
         "minhash_lsh": (minhash_q, osql.minhash_sql()),
         "simhash": (simhash_q, osql.simhash_sql()),
-        "image_features": (image_features_q, None),
+        "image_features": (image_features_q, _sql_image_features()),
         "ivf_knn": (ivf_knn_q, _sql_knn()),
     }
     for name, (qs, sql) in SEARCH_QUERIES.items():
