@@ -116,26 +116,59 @@ def _block_dl_min(reader, field: str, firsts: np.ndarray, lasts: np.ndarray) -> 
         return np.ones(firsts.size, dtype=np.float64)
     lo_w = np.clip((firsts - reader.doc_base) // NORMS_WINDOW, 0, winmin.size - 1)
     hi_w = np.clip((lasts - reader.doc_base) // NORMS_WINDOW, 0, winmin.size - 1)
-    out = np.empty(firsts.size, dtype=np.float64)
-    # most blocks span 1-2 windows; loop over blocks is over BLOCK COUNT (small),
-    # not postings
-    for i in range(firsts.size):
+    # nearly every block spans <= 2 windows -> vectorized endpoint min; the rare
+    # wide blocks fall back to an exact slice min
+    out = np.minimum(winmin[lo_w], winmin[hi_w]).astype(np.float64)
+    for i in np.flatnonzero(hi_w > lo_w + 1):
         out[i] = winmin[lo_w[i]: hi_w[i] + 1].min()
     return out
 
 
+def _term_block_meta(reader, field: str, term: str, blocks) -> tuple:
+    """(firsts, lasts, max_tf, dl_min) arrays per block, memoized on the reader
+    — the per-query fromiter over block dicts was a measured hotspot."""
+    cache = getattr(reader, "_wand_meta_cache", None)
+    if cache is None:
+        cache = reader._wand_meta_cache = {}
+    m = cache.get((field, term))
+    if m is None:
+        nb = len(blocks)
+        firsts = np.fromiter((b["first_doc"] for b in blocks), np.int64, nb)
+        lasts = np.fromiter((b["last_doc"] for b in blocks), np.int64, nb)
+        max_tf = np.fromiter((b["max_tf"] for b in blocks), np.float64, nb)
+        dl_min = _block_dl_min(reader, field, firsts, lasts)
+        m = (firsts, lasts, max_tf, dl_min)
+        cache[(field, term)] = m
+        if len(cache) > 512:
+            cache.pop(next(iter(cache)))
+    return m
+
+
 def _bm25_exact(reader, ctx: EvalContext, field: str, term: str, boost: float,
-                docs: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+                docs: np.ndarray, tfs: np.ndarray, *, full: bool = False) -> np.ndarray:
     """Bit-identical to SegmentEval's _bm25 followed by eval's Boost scaling —
-    same expression, same operation order, so ties break identically."""
-    dl = reader.norms(field)[docs - reader.doc_base].astype(np.float64)
-    avgdl = ctx.avgdl.get(field) or 1.0
-    tf = tfs.astype(np.float64)
-    idf = ctx.idf(field, term)
-    scores = idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+    same expression, same operation order, so ties break identically.
+
+    ``full=True`` marks docs/tfs as the term's COMPLETE posting list; the
+    unboosted scores are then memoized on the reader (idf/avgdl are global,
+    per-index constants, so cached base scores are exact across queries)."""
+    cache = getattr(reader, "_score_cache", None)
+    if cache is None:
+        cache = reader._score_cache = {}
+    base = cache.get((field, term)) if full else None
+    if base is None:
+        dl = reader.norms(field)[docs - reader.doc_base].astype(np.float64)
+        avgdl = ctx.avgdl.get(field) or 1.0
+        tf = tfs.astype(np.float64)
+        idf = ctx.idf(field, term)
+        base = idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+        if full:
+            cache[(field, term)] = base
+            if len(cache) > 512:
+                cache.pop(next(iter(cache)))
     if boost != 1.0:
-        scores = scores * boost
-    return scores
+        return base * boost
+    return base
 
 
 def wand_top_k(
@@ -160,12 +193,8 @@ def wand_top_k(
         blocks = raw.get((field, term)) or []
         if not blocks:
             continue
-        nb = len(blocks)
-        firsts = np.fromiter((b["first_doc"] for b in blocks), np.int64, nb)
-        lasts = np.fromiter((b["last_doc"] for b in blocks), np.int64, nb)
-        max_tf = np.fromiter((b["max_tf"] for b in blocks), np.float64, nb)
+        firsts, lasts, max_tf, dl_min = _term_block_meta(reader, field, term, blocks)
         avgdl = ctx.avgdl.get(field) or 1.0
-        dl_min = _block_dl_min(reader, field, firsts, lasts)
         ub = boost * idf * max_tf * (K1 + 1.0) / (
             max_tf + K1 * (1.0 - B + B * dl_min / avgdl)
         )
@@ -182,7 +211,7 @@ def wand_top_k(
     for i in impact_order:
         field, term, boost, blocks, *_ = terms_meta[i]
         docs, tfs = _decode_full(reader, field, term, blocks)
-        scores = _bm25_exact(reader, ctx, field, term, boost, docs, tfs)
+        scores = _bm25_exact(reader, ctx, field, term, boost, docs, tfs, full=True)
         decoded[i] = (docs, scores)
         seen_docs += docs.size
         if seen_docs >= k and len(decoded) >= 1:
@@ -194,12 +223,18 @@ def wand_top_k(
 
     theta = -np.inf
     if seen_docs >= k:
-        pdocs = np.concatenate([decoded[i][0] for i in decoded])
-        pscores = np.concatenate([decoded[i][1] for i in decoded])
-        ud, inv = np.unique(pdocs, return_inverse=True)
-        sums = np.zeros(ud.size, dtype=np.float64)
-        np.add.at(sums, inv, pscores)
-        if ud.size >= k:
+        if len(decoded) == 1:
+            # single decoded term: its docs are already unique — no union needed
+            sums = next(iter(decoded.values()))[1]
+            n_uniq = sums.size
+        else:
+            pdocs = np.concatenate([decoded[i][0] for i in decoded])
+            pscores = np.concatenate([decoded[i][1] for i in decoded])
+            ud, inv = np.unique(pdocs, return_inverse=True)
+            sums = np.zeros(ud.size, dtype=np.float64)
+            np.add.at(sums, inv, pscores)
+            n_uniq = ud.size
+        if n_uniq >= k:
             theta = float(-np.partition(-sums, k - 1)[k - 1])
 
     results = dict(decoded)
@@ -208,7 +243,10 @@ def wand_top_k(
         for i in undecoded:
             field, term, boost, blocks, *_ = terms_meta[i]
             docs, tfs = _decode_full(reader, field, term, blocks)
-            results[i] = (docs, _bm25_exact(reader, ctx, field, term, boost, docs, tfs))
+            results[i] = (
+                docs,
+                _bm25_exact(reader, ctx, field, term, boost, docs, tfs, full=True),
+            )
         return _merge_top_k(results, k)
 
     # ---- event sweep: piecewise-constant upper bound over doc ranges ----
@@ -230,15 +268,32 @@ def wand_top_k(
 
     for i in undecoded:
         field, term, boost, blocks, firsts, lasts, _ub = terms_meta[i]
-        # block survives iff its [first,last] overlaps a candidate interval
-        pos = np.searchsorted(cand_hi, firsts, side="right")
-        ok = pos < cand_lo.size
-        ok[ok] &= cand_lo[pos[ok]] <= lasts[ok]
-        if not ok.any():
-            continue
-        sub = [b for b, o in zip(blocks, ok) if o]
-        docs, tfs = _decode_blocks(sub)
-        results[i] = (docs, _bm25_exact(reader, ctx, field, term, boost, docs, tfs))
+        hit = reader._post_cache.get((field, term, False))
+        if hit is not None:
+            # already decoded by an earlier query: scoring the full cached list
+            # is cheaper than selective decode, and stays exact (docs outside
+            # candidate intervals carry scores <= bound < θ — see module doc)
+            docs, tfs = hit[0], hit[1]
+            full = True
+        else:
+            # block survives iff its [first,last] overlaps a candidate interval
+            pos = np.searchsorted(cand_hi, firsts, side="right")
+            ok = pos < cand_lo.size
+            ok[ok] &= cand_lo[pos[ok]] <= lasts[ok]
+            if not ok.any():
+                continue
+            full = ok.mean() > 0.5
+            if full:
+                # most blocks survive: decode fully and CACHE so repeat queries
+                # in this pinned scorer become cache hits (the skip saves little)
+                docs, tfs = _decode_full(reader, field, term, blocks)
+            else:
+                sub = [b for b, o in zip(blocks, ok) if o]
+                docs, tfs = _decode_blocks(sub)
+        results[i] = (
+            docs,
+            _bm25_exact(reader, ctx, field, term, boost, docs, tfs, full=full),
+        )
     return _merge_top_k(results, k)
 
 
