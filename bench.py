@@ -205,8 +205,14 @@ def run_scaling(turns: int, sf_dir: str, levels=(2, 8)) -> dict:
             env["GRAFT_SF_DIR"] = "__skip__"  # scaling measures the build only
             env["GRAFT_BENCH_BUILD_ONLY"] = "1"
             env.setdefault("GRAFT_BENCH_SEGMENTS", "1")
+            cmd = [sys.executable, os.path.abspath(__file__), "--child"]
+            if shutil.which("taskset"):
+                # pin each child to ncpu worker cores + 2 driver cores: models a
+                # fixed-size node (Ray helper/IO threads can't spill onto cores
+                # the level doesn't own, which otherwise flatters the small level)
+                cmd = ["taskset", "-c", f"0-{ncpu + 1}"] + cmd
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child"],
+                cmd,
                 capture_output=True, text=True, env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
