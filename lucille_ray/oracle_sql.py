@@ -219,21 +219,17 @@ def _fold_expr(operands: Sequence[str], c: int, p: int) -> str:
     return expr
 
 
-def minhash_sql(
-    num_perm: int = 64,
-    shingle_k: int = 3,
-    bands: int = 16,
-    seed: int = 42,
-    *,
-    table: str = "documents",
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def _minhash_ctes(
+    num_perm: int,
+    shingle_k: int,
+    bands: int,
+    seed: int,
+    table: str,
+    text_col: str,
+    id_col: str,
 ) -> str:
-    """SQL twin of ops.dedup.MinHasher: (doc_id, band, bucket) rows, bit-exact.
-
-    Reuses the identical seeded permutation constants (inlined as VALUES) and
-    the identical fold/universal-hash arithmetic mod 2^31-1 — every product
-    stays below 2^62, exact in DuckDB BIGINT and numpy uint64 alike."""
+    """Shared CTE block ending in ``sigf`` (doc_id, i, sv) and ``buckets``
+    (doc_id, band, bucket) — the exact twin of ops.dedup.MinHasher."""
     from .ops.dedup import FOLD_C, P31, minhash_params
 
     a, b = minhash_params(num_perm, seed)
@@ -249,7 +245,7 @@ def minhash_sql(
         for m in range(k - 1, 0, -1)
     )
     bucket_fold = _fold_expr([f"ss[{j + 1}]" for j in range(r)], FOLD_C, P31)
-    return f"""WITH tok AS (
+    return f"""tok AS (
   SELECT {id_col} AS doc_id, {te} AS toks FROM {table}
 ),
 u AS (
@@ -281,11 +277,69 @@ sigf AS (
 bandagg AS (
   SELECT doc_id, i // {r} AS band, list(sv ORDER BY i) AS ss
   FROM sigf GROUP BY doc_id, i // {r}
-)
+),
+buckets AS (
+  SELECT doc_id, band, {bucket_fold} AS bucket FROM bandagg
+)"""
+
+
+def minhash_sql(
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    bands: int = 16,
+    seed: int = 42,
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """SQL twin of ops.dedup.MinHasher: (doc_id, band, bucket) rows, bit-exact.
+
+    Reuses the identical seeded permutation constants (inlined as VALUES) and
+    the identical fold/universal-hash arithmetic mod 2^31-1 — every product
+    stays below 2^62, exact in DuckDB BIGINT and numpy uint64 alike."""
+    ctes = _minhash_ctes(num_perm, shingle_k, bands, seed, table, text_col, id_col)
+    return f"""WITH {ctes}
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(band AS INT) AS band,
-       CAST({bucket_fold} AS BIGINT) AS bucket
-FROM bandagg"""
+       CAST(bucket AS BIGINT) AS bucket
+FROM buckets"""
+
+
+def minhash_pairs_sql(
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    bands: int = 16,
+    seed: int = 42,
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """SQL twin of ops.dedup.minhash_dedup: near-dup pairs (a < b) whose
+    signature agreement >= threshold, surfaced by any shared LSH bucket.
+    Agreement is a multiple of 1/num_perm, so the float compare is exact when
+    the threshold is too (e.g. 0.5 with 64 perms)."""
+    ctes = _minhash_ctes(num_perm, shingle_k, bands, seed, table, text_col, id_col)
+    return f"""WITH {ctes},
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+est AS (
+  SELECT c.a, c.b,
+         sum(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END) / {float(num_perm)} AS ej
+  FROM cand c
+  JOIN sigf sa ON sa.doc_id = c.a
+  JOIN sigf sb ON sb.doc_id = c.b AND sb.i = sa.i
+  GROUP BY c.a, c.b
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(ej AS DOUBLE) AS est_jaccard
+FROM est WHERE ej >= {threshold!r}"""
 
 
 def simhash_sql(

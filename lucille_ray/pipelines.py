@@ -104,16 +104,21 @@ def token_counts_q(sf_dir: str):
 
 
 def doc_stats(sf_dir: str) -> pa.Table:
-    """Integer-exact corpus stats from the built index metadata."""
+    """Integer-exact corpus stats from the built index metadata.
+
+    n_terms merges the per-segment SORTED term dictionaries with numpy (vocab-
+    bounded; no Python set of every term — at huge vocabularies this becomes a
+    per-segment distinct-count merge tree, same shape)."""
     eng = engine_for(sf_dir)
     n_docs = 0
     total_tokens = 0
-    terms = set()
+    dicts = []
     scorer = eng._scorers()[0]
     for r in scorer.readers:
         n_docs += r.doc_count
         total_tokens += r.total_dl("text")
-        terms.update(r.term_dict("text")[0].tolist())
+        dicts.append(r.term_dict("text")[0])
+    terms = np.unique(np.concatenate(dicts)) if dicts else np.empty(0, object)
     return pa.table(
         {
             "n_docs": pa.array([n_docs], pa.int64()),
@@ -172,6 +177,24 @@ def minhash_q(sf_dir: str):
 
 def simhash_q(sf_dir: str):
     return simhash_signatures(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def minhash_pairs_q(sf_dir: str) -> pa.Table:
+    """Full LSH dedup end-to-end: signatures -> (band,bucket) shuffle ->
+    in-bucket pair generation -> threshold — SQL-checked via minhash_pairs_sql."""
+    import ray
+
+    from .ops import minhash_dedup
+
+    pairs = minhash_dedup(_documents(sf_dir, ["doc_id", "text"]), threshold=0.5)
+    t = pa.concat_tables(
+        [tb for tb in (ray.get(r) for r in pairs.to_arrow_refs()) if tb.num_rows]
+        or [pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "max(est_jaccard)": pa.array([], pa.float64())})]
+    )
+    return pa.table(
+        {"a": t["a"], "b": t["b"], "est_jaccard": t["max(est_jaccard)"]}
+    )
 
 
 def image_features_q(sf_dir: str):
@@ -523,6 +546,7 @@ def registry() -> Dict[str, tuple]:
         # hash-contract ops: md5_number_lower + mod-2^31 integer folds make the
         # LSH signatures exactly reproducible in SQL (oracle_sql.minhash_sql)
         "minhash_lsh": (minhash_q, osql.minhash_sql()),
+        "minhash_dedup_pairs": (minhash_pairs_q, osql.minhash_pairs_sql()),
         "simhash": (simhash_q, osql.simhash_sql()),
         "image_features": (image_features_q, _sql_image_features()),
         "ivf_knn": (ivf_knn_q, _sql_knn()),
