@@ -621,6 +621,7 @@ def build_index(
 
     os.makedirs(index_dir, exist_ok=True)
     t_start = time.time()
+    phase_metrics: Dict[str, float] = {}
     timing = os.environ.get("LR_BUILD_TIMING")
 
     def _tick(label: str, t0: float) -> None:
@@ -708,6 +709,8 @@ def build_index(
                 seg_bounds[str(s)] = [lo, hi]
         t0 = time.time()
         mapped.write_parquet(docmapped_root, partition_cols=["seg"])
+        phase_metrics["docmap_sec"] = round(time.time() - t0, 3)
+        phase_metrics["docid_mode"] = mode
         _tick("docmap_write", t0)
         meta = {
             "version": INDEX_FORMAT_VERSION,
@@ -740,6 +743,7 @@ def build_index(
             seg_bounds=meta["seg_bounds"][str(seg)],
             layout=meta.get("layout", "term_partitioned"),
         )
+        phase_metrics[f"segment_{seg}_sec"] = round(time.time() - t0, 3)
         _tick(f"segment {seg}", t0)
 
     if len(pending) <= 1:
@@ -756,6 +760,14 @@ def build_index(
             list(ex.map(_run, pending))
 
     meta["build_seconds"] = round(time.time() - t_start, 3)
+    # structured per-phase metrics report (docmap + per-segment wall; the
+    # per-operator Ray Data stats live in each segment's stage_stats.txt)
+    phase_metrics["total_sec"] = meta["build_seconds"]
+    try:
+        with open(os.path.join(index_dir, "build_metrics.json"), "w") as fh:
+            json.dump(phase_metrics, fh, indent=1)
+    except OSError:
+        pass
     return meta
 
 
@@ -825,6 +837,12 @@ def _build_segment(
     # stats actually prune term lookups (one row group otherwise spans the whole
     # term range and every lookup decodes the entire blocks column)
     postings.write_parquet(postings_path, max_rows_per_file=64)
+    try:
+        # per-stage execution stats (task counts, wall/cpu per operator) — the
+        # corroborating evidence for scaling claims (BASELINE.md)
+        stage_stats = postings.stats()
+    except Exception:
+        stage_stats = ""
 
     # -- stats from the norms pseudo-term rows (no extra pass over the input) --
     norm_rows = pq.read_table(
@@ -850,6 +868,9 @@ def _build_segment(
         for f in os.listdir(postings_path)
         if f.endswith(".parquet")
     )
+    if stage_stats:
+        with open(os.path.join(seg_dir, "stage_stats.txt"), "w") as fh:
+            fh.write(stage_stats)
     _write_manifest(index_dir, seg, seg_input, n_docs, n_terms, fields)
 
 

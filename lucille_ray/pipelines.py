@@ -458,6 +458,12 @@ SEARCH_QUERIES: Dict[str, tuple] = {
         '"batch window"',
         osql.search_sql([osql.phrase_clause("text", ["batch", "window"])]),
     ),
+    # punctuated Term: the analyzer splits 'batch.window' -> implicit phrase
+    # (the round-1 silent-empty regression shape; ADVICE high)
+    "search_term_multitoken": (
+        "batch.window",
+        osql.search_sql([osql.phrase_clause("text", ["batch", "window"])]),
+    ),
     "search_proximity": (
         '"batch window"~2',
         osql.search_sql([osql.proximity2_clause("text", "batch", "window", 2)]),
