@@ -169,35 +169,23 @@ class SegmentReader:
         want_positions: bool,
         candidates: Optional[np.ndarray] = None,
     ) -> Dict[str, Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]]:
-        t = pq.read_table(
-            os.path.join(self.seg_dir, "postings.parquet"),
-            filters=[("field", "==", field), ("term", "in", list(set(terms)))],
-        )
-        if t.num_rows == 0:
-            return {}
-        # group bucket rows per term, in bucket order (doc-sorted by construction)
-        order = pc.sort_indices(
-            t, sort_keys=[("term", "ascending"), ("bucket", "ascending")]
-        )
-        t = t.take(order)
+        """Decode via the raw-block cache: the parquet read happens at most once
+        per (field, term) on this reader; candidate-pruned repeats (conjunctive
+        queries in a pinned scorer) prune and decode IN MEMORY — the per-repeat
+        ``pq.read_table`` was 77% of repeat conjunctive latency."""
+        raw = self.raw_blocks_many(field, terms)
         out: Dict[str, Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]] = {}
-        terms_np = t["term"].to_pylist()
-        blocks_col = t["blocks"].to_pylist()
-        i = 0
-        while i < len(terms_np):
-            j = i
-            blocks: List[dict] = []
-            while j < len(terms_np) and terms_np[j] == terms_np[i]:
-                blocks.extend(blocks_col[j])
-                j += 1
-            if candidates is not None and blocks:
+        for term in set(terms):
+            blocks = raw.get(term) or []
+            if not blocks:
+                continue
+            if candidates is not None:
                 blocks = _prune_blocks(blocks, candidates)
             docs, tfs, pos = decode_postings(blocks, want_positions)
             if docs.size > 1 and (np.diff(docs) <= 0).any():
                 # doc_partitioned pieces can interleave ranges; restore doc order
                 docs, tfs, pos = sort_postings(docs, tfs, pos)
-            out[terms_np[i]] = (docs, tfs, pos)
-            i = j
+            out[term] = (docs, tfs, pos)
         return out
 
     def postings(
