@@ -21,6 +21,7 @@ from .similarity import (  # noqa: F401
     knn_brute,
 )
 from .textstats import (  # noqa: F401
+    bpe_token_counts,
     fingerprints,
     lang_id,
     quality_scores,

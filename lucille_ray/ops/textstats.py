@@ -36,6 +36,26 @@ def token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+#: BPE-style pre-tokenizer (GPT-2-shaped, ASCII form): contraction suffixes,
+#: space-prefixed letter runs, digit runs, punctuation runs, whitespace runs.
+#: RE2 syntax on BOTH sides — pyarrow's count_substring_regex and DuckDB's
+#: regexp_extract_all are each RE2, so counts agree exactly.
+BPE_TOKEN_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, n_bpe_tokens): subword-style token count via the BPE pre-tokenizer
+    regex — the cheap proxy for 'how many LLM tokens is this corpus' that a
+    training-data pipeline budgets with. One vectorized RE2 kernel per batch."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col], "")
+        n = pc.count_substring_regex(texts, BPE_TOKEN_REGEX).cast(pa.int64())
+        return pa.table({id_col: batch[id_col], "n_bpe_tokens": n})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def quality_scores(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Per-doc quality features: token count, char count, distinct-token count,
     and an integer quality bucket 0-3 (length + lexical diversity)."""

@@ -103,6 +103,23 @@ def token_counts_q(sf_dir: str):
     return token_counts(_documents(sf_dir, ["doc_id", "text"]))
 
 
+def bpe_token_counts_q(sf_dir: str):
+    from .ops import bpe_token_counts
+
+    return bpe_token_counts(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def _sql_bpe_token_counts() -> str:
+    from .ops.textstats import BPE_TOKEN_REGEX
+
+    # both sides are RE2 (pyarrow count_substring_regex / DuckDB regexp_extract_all)
+    pat = BPE_TOKEN_REGEX.replace("'", "''")
+    return (
+        "SELECT doc_id, CAST(len(regexp_extract_all(coalesce(text, ''), "
+        f"'{pat}')) AS BIGINT) AS n_bpe_tokens FROM documents"
+    )
+
+
 def doc_stats(sf_dir: str) -> pa.Table:
     """Integer-exact corpus stats from the built index metadata.
 
@@ -537,6 +554,7 @@ def registry() -> Dict[str, tuple]:
     out: Dict[str, tuple] = {
         "transcripts_build": (transcripts_build, _sql_transcripts_build()),
         "token_counts": (token_counts_q, _sql_token_counts()),
+        "bpe_token_counts": (bpe_token_counts_q, _sql_bpe_token_counts()),
         "doc_stats": (doc_stats, _sql_doc_stats()),
         "exact_dedup": (exact_dedup_q, _sql_exact_dedup()),
         "quality_scores": (quality_q, _sql_quality()),

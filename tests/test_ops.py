@@ -204,6 +204,19 @@ def test_score_query_dataset(ray_session, tmp_path):
         assert rows.sort_values("rank")["doc_id"].tolist() == expect
 
 
+def test_bpe_token_counts(ray_session):
+    import re
+
+    from lucille_ray.ops import bpe_token_counts
+    from lucille_ray.ops.textstats import BPE_TOKEN_REGEX
+
+    texts = ["I'll scan 42 rows, won't I?", "", "  spaces   only  ", "héllo wörld"]
+    out = bpe_token_counts(_docs_ds(texts)).to_pandas().sort_values("doc_id")
+    expect = [len(re.findall(BPE_TOKEN_REGEX, t)) for t in texts]
+    assert out["n_bpe_tokens"].tolist() == expect
+    assert expect[0] > 5  # contractions/digits/punctuation split
+
+
 def test_sessionize_gap_semantics(ray_session):
     import pandas as pd
     import ray.data

@@ -111,6 +111,45 @@ def test_wand_actually_skips_decodes(built, monkeypatch):
     )
 
 
+def test_wand_random_queries_property(built, ray_session):
+    """Randomized WAND-vs-eval identity: arbitrary term mixes (hot/rare/absent),
+    arbitrary boosts, arbitrary k — ranks and scores must match exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    engine = SearchEngine(built, parallel=False)
+    scorer = engine._scorers()[0]
+    r = max(scorer.readers, key=lambda rr: rr.doc_count)
+    terms, dfs = r.term_dict("text")
+    # mix of hot, mid, rare, and absent terms
+    order = np.argsort(-dfs)
+    pool = [str(terms[i]) for i in order[:: max(1, len(order) // 40)]][:40]
+    pool += ["zzznope", "qqqmissing"]
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        idxs=st.lists(st.integers(0, len(pool) - 1), min_size=2, max_size=6, unique=True),
+        boosts=st.lists(st.sampled_from([1.0, 0.5, 2.0, 3.75]), min_size=6, max_size=6),
+        k=st.integers(1, 40),
+    )
+    def check(idxs, boosts, k):
+        clauses = []
+        for j, i in enumerate(idxs):
+            b = boosts[j]
+            clauses.append(pool[i] if b == 1.0 else f"{pool[i]}^{b}")
+        qs = " OR ".join(clauses)
+        q, reqs, ctx = engine.plan(qs)
+        parts_scale = wand_parts(q)
+        assert parts_scale is not None
+        parts, scale = parts_scale
+        wd, ws = wand_top_k(r, ctx, parts, k)
+        ev = SegmentEval(r, ctx, collect_term_requests(q), query=q)
+        ed, es = top_k(*ev.eval(q), k)
+        assert wd.tolist() == ed.tolist(), qs
+        np.testing.assert_array_equal(ws, es)
+
+    check()
+
+
 def test_wand_parts_shapes():
     assert wand_parts(parse("a OR b")) is not None
     assert wand_parts(parse("(a OR b)^2")) == ([("text", "a", 1.0), ("text", "b", 1.0)], 2.0)
