@@ -3,6 +3,7 @@ from .dedup import (  # noqa: F401
     SimHasher,
     exact_dedup,
     minhash_dedup,
+    minhash_dedup_verified,
     minhash_signatures,
     ngram_jaccard,
     simhash_signatures,

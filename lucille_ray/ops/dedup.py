@@ -324,6 +324,95 @@ def minhash_dedup(ds, threshold: float = 0.8, **kw):
     return pairs.groupby(["a", "b"]).aggregate(Max("est_jaccard"))
 
 
+class _ShingleSets:
+    """map_batches callable: (id, distinct sorted shingle-hash set) per doc,
+    using the same P31 fold hashes as MinHasher (so the SQL twin matches)."""
+
+    def __init__(self, shingle_k: int = 3, text_col: str = "text", id_col: str = "doc_id"):
+        self.k = shingle_k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        us, counts = _flat_token_us(batch[self.text_col])
+        vals, per_doc = _shingle_folds(us, counts, self.k)
+        offs = np.zeros(per_doc.size + 1, dtype=np.int64)
+        np.cumsum(per_doc, out=offs[1:])
+        # packed as BINARY (sorted int64 LE bytes): Arrow's hash join does not
+        # accept list-typed payload columns, binary passes through fine
+        sets = [
+            np.unique(vals[offs[i]: offs[i + 1]]).astype(np.int64).tobytes()
+            for i in range(per_doc.size)
+        ]
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "shingles": pa.array(sets, pa.binary()),
+            }
+        )
+
+
+def minhash_dedup_verified(
+    ds,
+    est_threshold: float = 0.3,
+    jaccard_threshold: float = 0.5,
+    *,
+    num_partitions: int = 8,
+    **kw,
+):
+    """The full LSH dedup pipeline: banded-LSH candidate pairs (recall stage)
+    verified by EXACT distinct-shingle Jaccard (precision stage), keeping pairs
+    with jaccard >= jaccard_threshold.
+
+    Distributed shape: candidate pairs are tiny relative to the corpus; each
+    side's shingle set arrives via a hash `join` against the per-doc shingle
+    table (no driver materialization of texts). Both-empty docs define
+    jaccard = 1.0 (identical) — the SQL twin mirrors every rule."""
+    cands = minhash_dedup(ds, threshold=est_threshold, **kw)
+    sh_kw = {k: v for k, v in kw.items() if k in ("shingle_k", "text_col", "id_col")}
+    shingles = ds.map_batches(
+        _ShingleSets, fn_constructor_kwargs=sh_kw, batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def rename(col):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([col, f"sh_{col}"])
+
+        return fn
+
+    a_side = shingles.map_batches(rename("a"), batch_format="pyarrow")
+    b_side = shingles.map_batches(rename("b"), batch_format="pyarrow")
+    joined = cands.join(
+        a_side, join_type="inner", num_partitions=num_partitions, on=("a",)
+    ).join(b_side, join_type="inner", num_partitions=num_partitions, on=("b",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        sa = t["sh_a"].to_pylist()
+        sb = t["sh_b"].to_pylist()
+        jac = np.empty(len(a), dtype=np.float64)
+        for i in range(len(a)):
+            x = np.frombuffer(sa[i] or b"", dtype=np.int64)
+            y = np.frombuffer(sb[i] or b"", dtype=np.int64)
+            if not x.size and not y.size:
+                jac[i] = 1.0
+                continue
+            inter = np.intersect1d(x, y, assume_unique=True).size
+            jac[i] = inter / (x.size + y.size - inter)
+        keep = jac >= jaccard_threshold
+        return pa.table(
+            {
+                "a": pa.array(a[keep]),
+                "b": pa.array(b[keep]),
+                "jaccard": pa.array(jac[keep]),
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

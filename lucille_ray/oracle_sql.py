@@ -342,6 +342,55 @@ SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
 FROM est WHERE ej >= {threshold!r}"""
 
 
+def minhash_verified_sql(
+    est_threshold: float = 0.3,
+    jaccard_threshold: float = 0.5,
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    bands: int = 16,
+    seed: int = 42,
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """SQL twin of ops.dedup.minhash_dedup_verified: LSH candidates (estimated
+    agreement >= est_threshold) verified by EXACT distinct-shingle Jaccard.
+    Intersection/union sizes are integers and the division is the same IEEE
+    operation on both sides; both-empty docs define jaccard = 1.0."""
+    ctes = _minhash_ctes(num_perm, shingle_k, bands, seed, table, text_col, id_col)
+    li = "len(list_intersect(sa.ss, sb.ss))"
+    return f"""WITH {ctes},
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+est AS (
+  SELECT c.a, c.b,
+         sum(CASE WHEN p1.sv = p2.sv THEN 1 ELSE 0 END) / {float(num_perm)} AS ej
+  FROM cand c
+  JOIN sigf p1 ON p1.doc_id = c.a
+  JOIN sigf p2 ON p2.doc_id = c.b AND p2.i = p1.i
+  GROUP BY c.a, c.b
+),
+keep AS (SELECT a, b FROM est WHERE ej >= {est_threshold!r}),
+shd AS (SELECT doc_id, list_distinct(shs) AS ss FROM sh),
+verified AS (
+  SELECT k.a, k.b,
+         CASE WHEN len(sa.ss) = 0 AND len(sb.ss) = 0 THEN 1.0
+              ELSE CAST({li} AS DOUBLE) / (len(sa.ss) + len(sb.ss) - {li})
+         END AS jaccard
+  FROM keep k
+  JOIN shd sa ON sa.doc_id = k.a
+  JOIN shd sb ON sb.doc_id = k.b
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(jaccard AS DOUBLE) AS jaccard
+FROM verified WHERE jaccard >= {jaccard_threshold!r}"""
+
+
 def simhash_sql(
     *,
     table: str = "documents",

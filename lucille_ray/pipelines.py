@@ -196,6 +196,16 @@ def simhash_q(sf_dir: str):
     return simhash_signatures(_documents(sf_dir, ["doc_id", "text"]))
 
 
+def minhash_verified_q(sf_dir: str):
+    """LSH recall stage + exact shingle-Jaccard precision stage (join-based)."""
+    from .ops import minhash_dedup_verified
+
+    return minhash_dedup_verified(
+        _documents(sf_dir, ["doc_id", "text"]), est_threshold=0.3,
+        jaccard_threshold=0.5,
+    )
+
+
 def minhash_pairs_q(sf_dir: str) -> pa.Table:
     """Full LSH dedup end-to-end: signatures -> (band,bucket) shuffle ->
     in-bucket pair generation -> threshold — SQL-checked via minhash_pairs_sql."""
@@ -571,6 +581,7 @@ def registry() -> Dict[str, tuple]:
         # LSH signatures exactly reproducible in SQL (oracle_sql.minhash_sql)
         "minhash_lsh": (minhash_q, osql.minhash_sql()),
         "minhash_dedup_pairs": (minhash_pairs_q, osql.minhash_pairs_sql()),
+        "minhash_dedup_verified": (minhash_verified_q, osql.minhash_verified_sql()),
         "simhash": (simhash_q, osql.simhash_sql()),
         "image_features": (image_features_q, _sql_image_features()),
         "ivf_knn": (ivf_knn_q, _sql_knn()),
