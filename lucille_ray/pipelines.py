@@ -536,6 +536,26 @@ SEARCH_QUERIES: Dict[str, tuple] = {
 }
 
 
+def suggest_q(sf_dir: str) -> pa.Table:
+    """Search-as-you-type: mapLastTerm rewrites the trailing 'sc' into
+    Term OR Prefix (the reference's flagship transform use case, driver-checked
+    against the equivalent SQL union of exact + LIKE-expansion scoring)."""
+    t = engine_for(sf_dir).suggest("join AND sc", k=10, with_meta=False)
+    return pa.table({"doc_id": t["doc_id"], "score_r": pc.round(t["score"], 4)})
+
+
+def _sql_suggest() -> str:
+    prefix_pred = "tf.term LIKE 'sc%'"
+    last = (
+        "SELECT doc_id, sum(s) AS s FROM ("
+        f"SELECT doc_id, s FROM ({osql.term_clause('text', 'sc')}) "
+        "UNION ALL "
+        f"SELECT doc_id, s FROM ({osql.expansion_clause('text', prefix_pred)})"
+        ") GROUP BY doc_id"
+    )
+    return osql.search_sql([_tc("join"), last], mode="and")
+
+
 def filter_all_matches_q(sf_dir: str) -> pa.Table:
     """Corpus filtering: EVERY doc matching the query (no top-k cut)."""
     t = engine_for(sf_dir).match_all("join AND hash")
@@ -577,6 +597,7 @@ def registry() -> Dict[str, tuple]:
             filter_all_matches_q,
             osql.search_sql([_tc("join"), _tc("hash")], mode="and", k=None),
         ),
+        "search_suggest": (suggest_q, _sql_suggest()),
         # hash-contract ops: md5_number_lower + mod-2^31 integer folds make the
         # LSH signatures exactly reproducible in SQL (oracle_sql.minhash_sql)
         "minhash_lsh": (minhash_q, osql.minhash_sql()),
