@@ -78,6 +78,12 @@ def _limit_worker_threads() -> None:
         pass
     _THREADS_LIMITED = True
 
+#: postings parquet layout: term lookups prune at ROW GROUP granularity, so
+#: 64-row groups give the selectivity while larger files avoid per-file
+#: open/close overhead (the previous 64-row FILES meant tens of thousands of
+#: files per segment)
+POSTINGS_WRITE_ARGS = {"max_rows_per_file": 16384, "row_group_size": 64}
+
 INDEX_META_FILE = "index_meta.json"
 MANIFEST_FILE = "MANIFEST.json"
 #: bump on storage-layout changes; readers refuse older indexes with a clear error
@@ -111,10 +117,15 @@ def _validate_turn_density(
     """turn_idx must be exactly {0..n-1} per conversation: the max check catches
     truncation, the sum check catches duplicated/missing indices that keep the
     same max (e.g. [0,0,2]) — those would mint duplicate doc_ids and only
-    surface later as a confusing norms error at query time."""
+    surface later as a confusing norms error at query time.
+
+    ``convs`` may be a list OR an Arrow array; it is only indexed on failure
+    (materializing millions of conv ids into Python was 10-20% of build time)."""
     ok = (max_turn + 1 == counts) & (turn_sum == counts * (counts - 1) // 2)
     if not ok.all():
         bad = convs[int(np.argmax(~ok))]
+        if hasattr(bad, "as_py"):
+            bad = bad.as_py()
         raise ValueError(
             f"turn_idx must be dense+unique 0..n-1 per conversation; violated by {bad!r}"
         )
@@ -138,7 +149,7 @@ def _conv_offsets(ds) -> Tuple[List[str], np.ndarray, np.ndarray]:
         [("cnt", "sum"), ("mx", "max"), ("sm", "sum")]
     )
     merged = merged.take(pa.compute.sort_indices(merged["conv_id"]))
-    convs = merged["conv_id"].to_pylist()
+    convs = merged["conv_id"].combine_chunks()  # stays Arrow; no Python list
     counts = merged["cnt_sum"].to_numpy().astype(np.int64)
     max_turn = merged["mx_max"].to_numpy().astype(np.int64)
     turn_sum = merged["sm_sum"].to_numpy().astype(np.int64)
@@ -155,26 +166,33 @@ def _assign_doc_ids(
     batch: pa.Table, conv_map_ref, seg_target: int, num_segments: int
 ) -> pa.Table:
     """Attach doc_id/seg. The conv->base table is broadcast as an Arrow table
-    (``ray.get`` of it is zero-copy from local plasma) and the derived Python
-    lookup dict is memoized PER WORKER PROCESS — getting a pickled dict per task
-    measured 123us/row of pure deserialization."""
+    (``ray.get`` of it is zero-copy from local plasma); per WORKER PROCESS it is
+    converted ONCE into a sorted numpy unicode array + base vector, so the
+    per-batch lookup is a vectorized ``np.searchsorted`` (the previous per-row
+    Python dict loop was the docmap hot path; a pickled dict per task before
+    that measured 123us/row)."""
     _limit_worker_threads()
     import ray
 
     key = conv_map_ref.hex()
-    conv_map = _CONV_MAP_CACHE.get(key)
-    if conv_map is None:
+    lookup = _CONV_MAP_CACHE.get(key)
+    if lookup is None:
         tbl = ray.get(conv_map_ref)
-        conv_map = dict(
-            zip(tbl["conv_id"].to_pylist(), tbl["base"].to_numpy().tolist())
-        )
+        conv_sorted = tbl["conv_id"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(str)  # sorted by construction (_conv_offsets sorts)
+        base_sorted = tbl["base"].to_numpy().astype(np.int64)
         _CONV_MAP_CACHE.clear()  # one build at a time; don't hold stale maps
-        _CONV_MAP_CACHE[key] = conv_map
-    convs = batch["conv_id"].to_pylist()
+        lookup = _CONV_MAP_CACHE[key] = (conv_sorted, base_sorted)
+    conv_sorted, base_sorted = lookup
+    convs = batch["conv_id"].to_numpy(zero_copy_only=False).astype(conv_sorted.dtype)
     turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-    bases = np.fromiter(
-        (conv_map[c] for c in convs), dtype=np.int64, count=len(convs)
-    )
+    idx = np.searchsorted(conv_sorted, convs)
+    idx = np.clip(idx, 0, conv_sorted.size - 1)
+    if not (conv_sorted[idx] == convs).all():
+        missing = convs[conv_sorted[idx] != convs][0]
+        raise ValueError(f"conv_id {missing!r} not present in the offsets map")
+    bases = base_sorted[idx]
     doc_id = bases + turn
     seg = np.minimum(bases // seg_target, num_segments - 1)
     return batch.append_column("doc_id", pa.array(doc_id)).append_column(
@@ -193,7 +211,7 @@ def _conv_block_stats(tbl: pa.Table) -> Tuple[int, int]:
     counts = tbl["sum(cnt)"].to_numpy().astype(np.int64)
     max_turn = tbl["max(mx)"].to_numpy().astype(np.int64)
     turn_sum = tbl["sum(sm)"].to_numpy().astype(np.int64)
-    _validate_turn_density(tbl["conv_id"].to_pylist(), counts, max_turn, turn_sum)
+    _validate_turn_density(tbl["conv_id"], counts, max_turn, turn_sum)
     return tbl.num_rows, int(counts.sum())
 
 
@@ -689,7 +707,7 @@ def build_index(
             num_segments = max(1, min(num_segments, len(convs)))
             seg_target = -(-total_docs // num_segments)  # ceil
             conv_map_ref = ray.put(
-                pa.table({"conv_id": pa.array(convs, pa.string()), "base": pa.array(bases)})
+                pa.table({"conv_id": convs, "base": pa.array(bases)})
             )
             mapped = ds.map_batches(
                 _assign_doc_ids,
@@ -836,7 +854,7 @@ def _build_segment(
     # small row groups + term-sorted rows within each file => parquet min/max
     # stats actually prune term lookups (one row group otherwise spans the whole
     # term range and every lookup decodes the entire blocks column)
-    postings.write_parquet(postings_path, max_rows_per_file=64)
+    postings.write_parquet(postings_path, **POSTINGS_WRITE_ARGS)
     try:
         # per-stage execution stats (task counts, wall/cpu per operator) — the
         # corroborating evidence for scaling claims (BASELINE.md)

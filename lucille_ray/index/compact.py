@@ -88,10 +88,12 @@ def compact_index(index_dir: str, *, resume: bool = True) -> None:
             continue
         tmp_path = postings_path + ".compact"
         shutil.rmtree(tmp_path, ignore_errors=True)
+        from .build import POSTINGS_WRITE_ARGS
+
         ds = ray.data.read_parquet(postings_path)
         ds.groupby(["field", "term"]).map_groups(
             _merge_pieces, batch_format="pyarrow"
-        ).write_parquet(tmp_path, max_rows_per_file=64)
+        ).write_parquet(tmp_path, **POSTINGS_WRITE_ARGS)
         # atomic publish: old dir moves aside, tmp takes its place
         bak = postings_path + ".bak"
         shutil.rmtree(bak, ignore_errors=True)
