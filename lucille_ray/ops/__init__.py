@@ -14,7 +14,12 @@ from .multimodal import (  # noqa: F401
     attach_fake_images,
     image_features,
 )
-from .sessions import SESSIONIZE_SQL, sessionize  # noqa: F401
+from .sessions import (  # noqa: F401
+    SESSIONIZE_SQL,
+    TUMBLING_WINDOW_SQL,
+    sessionize,
+    tumbling_window_agg,
+)
 from .similarity import (  # noqa: F401
     IVFIndex,
     embedding_near_dups,

@@ -66,6 +66,79 @@ def sessionize(
     return ds.groupby(user_col).map_groups(per_user, batch_format="pandas")
 
 
+def tumbling_window_agg(
+    ds,
+    window_seconds: int = 3600,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """Tumbling-window aggregate: one row per (user, epoch-aligned window) with
+    event count and value sum. The window key is computed INSIDE map_batches
+    (cheap, vectorized) so the only wide step is the final groupby - and the
+    per-batch partial pre-aggregation means the shuffle moves one row per
+    (user, window, batch), not per event.
+
+    Values are summed as integer CENTS (exact, ORDER-FREE - float partial sums
+    reassociate across batches and can flip a rounded digit vs the oracle)."""
+    import pyarrow.compute as pc_
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        epoch = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        win = (epoch // window_seconds) * window_seconds
+        cents = np.rint(
+            batch[value_col].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                user_col: batch[user_col],
+                "window_start": pa.array(win.astype(np.int64)),
+                "n": pa.array(np.ones(len(batch), np.int64)),
+                "vc": pa.array(cents),
+            }
+        )
+        g = (
+            pl.from_arrow(t)
+            .group_by([user_col, "window_start"])
+            .agg(pl.col("n").sum(), pl.col("vc").sum())
+        )
+        return g.to_arrow()
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([user_col, "window_start"])
+        .aggregate(Sum("n"), Sum("vc"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cents = t["sum(vc)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                user_col: t[user_col],
+                "window_start": t["window_start"],
+                "n_events": pc_.cast(t["sum(n)"], pa.int64()),
+                "total_value_r": pa.array(cents / 100.0),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+TUMBLING_WINDOW_SQL = """
+SELECT user_id,
+       CAST(floor(epoch(ts) / {w}) AS BIGINT) * {w} AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value_r
+FROM events
+GROUP BY user_id, CAST(floor(epoch(ts) / {w}) AS BIGINT) * {w}
+""".strip()
+
+
 SESSIONIZE_SQL = """
 WITH flagged AS (
   SELECT user_id, ts, event_id, value,

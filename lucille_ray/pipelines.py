@@ -306,6 +306,52 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                              CAST(y.embedding AS DOUBLE[])) >= 0.3"""
 
 
+def pricing_summary_q(sf_dir: str):
+    """TPC-H-Q1-shaped relational aggregate over lineitem: predicate + column
+    pruning at the read, batch-partial aggregation, tiny final groupby."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from .ops.relational import pricing_summary
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        ],
+        filter=pads.field("l_shipdate") <= pa.scalar(
+            np.datetime64("1998-09-01T00:00:00", "us")
+        ),
+    )
+    return pricing_summary(ds)
+
+
+def _sql_pricing_summary() -> str:
+    from .ops.relational import PRICING_SUMMARY_SQL
+
+    return PRICING_SUMMARY_SQL
+
+
+def tumbling_window_q(sf_dir: str):
+    """Epoch-aligned tumbling-window aggregate over the events stream (1h)."""
+    import ray.data
+
+    from .ops import tumbling_window_agg
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"],
+    )
+    return tumbling_window_agg(ds, window_seconds=3600)
+
+
+def _sql_tumbling_window() -> str:
+    from .ops import TUMBLING_WINDOW_SQL
+
+    return TUMBLING_WINDOW_SQL.format(w=3600)
+
+
 def sessionize_q(sf_dir: str):
     """Gap-based sessionization of the events stream (6h inactivity gap)."""
     import ray.data
@@ -593,6 +639,8 @@ def registry() -> Dict[str, tuple]:
         "knn_cosine": (knn_q, _sql_knn()),
         "embedding_near_dups": (embedding_near_dups_q, _sql_embedding_near_dups()),
         "sessionize": (sessionize_q, _sessionize_sql()),
+        "tumbling_window": (tumbling_window_q, _sql_tumbling_window()),
+        "pricing_summary": (pricing_summary_q, _sql_pricing_summary()),
         "filter_all_matches": (
             filter_all_matches_q,
             osql.search_sql([_tc("join"), _tc("hash")], mode="and", k=None),

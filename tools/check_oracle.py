@@ -31,7 +31,9 @@ def _ds_to_table(ds):
     import pyarrow as pa
     import ray
 
-    return pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+    tables = [ray.get(r) for r in ds.to_arrow_refs()]
+    live = [t for t in tables if t.num_rows]
+    return pa.concat_tables(live) if live else tables[0]
 
 
 def canon(t):
