@@ -87,7 +87,8 @@ def tumbling_window_agg(
     def partial(batch: pa.Table) -> pa.Table:
         import polars as pl
 
-        epoch = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        ts_us = batch[ts_col].cast(pa.timestamp("us"))  # unit-normalize (ns inputs)
+        epoch = ts_us.cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
         win = (epoch // window_seconds) * window_seconds
         cents = np.rint(
             batch[value_col].to_numpy(zero_copy_only=False) * 100.0

@@ -243,6 +243,55 @@ def test_sessionize_gap_semantics(ray_session):
     assert out.loc[0, "end_ts"] == base + pd.Timedelta("30min")
 
 
+def test_tumbling_window_agg(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from lucille_ray.ops import tumbling_window_agg
+
+    base = pd.Timestamp("2024-01-01")  # epoch-aligned hour boundary
+    rows = [
+        {"user_id": 1, "ts": base, "value": 1.25},
+        {"user_id": 1, "ts": base + pd.Timedelta("59min"), "value": 2.50},
+        {"user_id": 1, "ts": base + pd.Timedelta("61min"), "value": 4.00},
+        {"user_id": 2, "ts": base + pd.Timedelta("30min"), "value": 8.00},
+    ]
+    out = (
+        tumbling_window_agg(ray.data.from_items(rows), window_seconds=3600)
+        .to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert out["n_events"].tolist() == [2, 1, 1]
+    assert out["total_value_r"].tolist() == [3.75, 4.00, 8.00]
+    w0 = int(base.timestamp())
+    assert out["window_start"].tolist() == [w0, w0 + 3600, w0]
+
+
+def test_pricing_summary_matches_pandas(ray_session):
+    import ray.data
+
+    from lucille_ray.ops.relational import pricing_summary
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"],
+    )
+    out = pricing_summary(ds).to_pandas().set_index(["l_returnflag", "l_linestatus"])
+    import pandas as pd
+
+    raw = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    grp = raw.groupby(["l_returnflag", "l_linestatus"])
+    exp_cnt = grp.size()
+    for key, row in out.iterrows():
+        assert row["count_order"] == exp_cnt[key]
+        assert abs(row["sum_base_price"] - grp["l_extendedprice"].sum()[key]) < 1e-6
+        disc = (raw["l_extendedprice"] * (1 - raw["l_discount"])).groupby(
+            [raw["l_returnflag"], raw["l_linestatus"]]).sum()
+        assert abs(row["sum_disc_price"] - disc[key]) < 1e-4
+
+
 def test_image_feature_stage(ray_session):
     ds = _docs_ds(["x"] * 10).select_columns(["doc_id"])
     feats = image_features(attach_fake_images(ds, side=8), batch_size=4).to_pandas()
