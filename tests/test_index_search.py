@@ -252,6 +252,45 @@ def test_missing_seg_input_with_docs_is_an_error(built, tmp_path):
         build_index(ds, index_dir, num_segments=2, batch_size=400)
 
 
+def test_expansion_bound_enforced_across_segments(ray_session, tmp_path, monkeypatch):
+    """Each segment's expansion stays under the bound but the cross-segment
+    union exceeds it: plan() must raise (maxClauseCount semantics)."""
+    import ray.data
+
+    rows = []
+    for seg, prefix_group in ((0, "aaa"), (1, "bbb")):
+        conv = f"c{seg}"
+        for i in range(12):
+            rows.append(
+                {
+                    "conv_id": conv, "turn_idx": i, "role": "user",
+                    "text": f"t{prefix_group}{i} filler", "tool": "none",
+                    "ts": 1_700_000_000_000_000 + i,
+                }
+            )
+    t = pa.table(
+        {
+            "conv_id": pa.array([r["conv_id"] for r in rows]),
+            "turn_idx": pa.array([r["turn_idx"] for r in rows], pa.int32()),
+            "role": pa.array([r["role"] for r in rows]),
+            "text": pa.array([r["text"] for r in rows]),
+            "tool": pa.array([r["tool"] for r in rows]),
+            "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+        }
+    )
+    data = str(tmp_path / "exp.parquet")
+    pq.write_table(t, data)
+    index_dir = str(tmp_path / "exp_idx")
+    build_index(ray.data.read_parquet(data), index_dir, num_segments=2, batch_size=50)
+    import lucille_ray.search.engine as eng_mod
+
+    engine = SearchEngine(index_dir, parallel=False)
+    # per-segment hits: 12 each (under 15); union: 24 (over 15)
+    monkeypatch.setattr(eng_mod, "MAX_EXPANSIONS", 15)
+    with pytest.raises(ValueError, match="across segments"):
+        engine.plan("t*")
+
+
 def test_compaction_recovers_interrupted_swap(built, oracle, tmp_path):
     """A crash between the two publish renames leaves the segment with no
     postings.parquet; re-running compact_index must repair and still serve
