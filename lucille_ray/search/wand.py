@@ -53,6 +53,9 @@ THETA_EPS = 1e-6
 #: norms window size for the per-block dl_min bound
 NORMS_WINDOW = 2048
 
+#: total bytes of memoized base-score arrays per reader (FIFO-evicted)
+SCORE_CACHE_BYTES = 256 << 20
+
 
 def wand_parts(
     q: qn.Query, field: str = DEFAULT_FIELD
@@ -155,6 +158,7 @@ def _bm25_exact(reader, ctx: EvalContext, field: str, term: str, boost: float,
     cache = getattr(reader, "_score_cache", None)
     if cache is None:
         cache = reader._score_cache = {}
+        reader._score_cache_bytes = 0
     base = cache.get((field, term)) if full else None
     if base is None:
         dl = reader.norms(field)[docs - reader.doc_base].astype(np.float64)
@@ -164,8 +168,12 @@ def _bm25_exact(reader, ctx: EvalContext, field: str, term: str, boost: float,
         base = idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
         if full:
             cache[(field, term)] = base
-            if len(cache) > 512:
-                cache.pop(next(iter(cache)))
+            reader._score_cache_bytes += base.nbytes
+            # byte-capped, not entry-capped: one hot term's scores at 10^7 docs
+            # is 80 MB — entry counts alone would let the cache eat the heap
+            while reader._score_cache_bytes > SCORE_CACHE_BYTES and len(cache) > 1:
+                oldest = next(iter(cache))
+                reader._score_cache_bytes -= cache.pop(oldest).nbytes
     if boost != 1.0:
         return base * boost
     return base
