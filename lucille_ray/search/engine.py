@@ -67,13 +67,11 @@ class SegmentScorer:
         """Expand dictionary specs and collect local dfs for all needed terms."""
         expanded: Dict[ExpansionSpec, set] = {s: set() for s in reqs.expansions}
         for spec in reqs.expansions:
-            match = spec.matcher()
             for r in self.readers:
                 terms, _ = r.term_dict(spec.field)
                 if terms.size == 0:
                     continue
-                m = match(terms)
-                hits = terms[m]
+                hits = spec.resolve_against(terms)  # binary-search windows, not scans
                 if hits.size > MAX_EXPANSIONS:
                     raise ValueError(
                         f"{spec.kind} expansion exceeds {MAX_EXPANSIONS} terms"

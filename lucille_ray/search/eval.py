@@ -88,6 +88,64 @@ class ExpansionSpec:
             return match
         raise ValueError(self.kind)
 
+    def resolve_against(self, terms: np.ndarray) -> np.ndarray:
+        """Matching terms from a SORTED term dictionary, using binary search
+        instead of a full-vocabulary scan where the spec shape allows:
+
+        * prefix / range -> O(log V) searchsorted window, no scan at all;
+        * wildcard with a literal head (``foo*bar``) -> scan only the ``foo``
+          prefix window;
+        * fuzzy -> length prefilter (|len-len(base)| <= k) before the DP;
+        * regex -> full scan (pattern heads are not reliably literal).
+        """
+        if terms.size == 0:
+            return terms
+        _HI = "\U0010ffff"
+        if self.kind == "prefix":
+            prefix = self.args[0]
+            lo = np.searchsorted(terms, prefix, side="left")
+            hi = np.searchsorted(terms, prefix + _HI, side="right")
+            return terms[lo:hi]
+        if self.kind == "range":
+            lower, upper, li, ui = self.args
+            lo = 0 if lower is None else np.searchsorted(
+                terms, lower, side="left" if li else "right"
+            )
+            hi = terms.size if upper is None else np.searchsorted(
+                terms, upper, side="right" if ui else "left"
+            )
+            return terms[lo:hi]
+        if self.kind == "wildcard":
+            # literal head of the regex: chars before the first metacharacter
+            # (wildcard_to_regex only re.escape's literals, so an escaped char
+            # is literal too)
+            pat = self.args[0]
+            head = []
+            i = 0
+            while i < len(pat):
+                c = pat[i]
+                if c == "\\" and i + 1 < len(pat):
+                    head.append(pat[i + 1])
+                    i += 2
+                elif c.isalnum():
+                    head.append(c)
+                    i += 1
+                else:
+                    break
+            sub = terms
+            if head:
+                prefix = "".join(head)
+                lo = np.searchsorted(terms, prefix, side="left")
+                hi = np.searchsorted(terms, prefix + _HI, side="right")
+                sub = terms[lo:hi]
+            return sub[self.matcher()(sub)]
+        if self.kind == "fuzzy":
+            base, max_edits = self.args
+            lens = np.fromiter((len(t) for t in terms), np.int64, terms.size)
+            cand = terms[np.abs(lens - len(base)) <= max_edits]
+            return cand[self.matcher()(cand)] if cand.size else cand
+        return terms[self.matcher()(terms)]
+
 
 def levenshtein_within(a: str, b: str, k: int) -> bool:
     """Banded edit distance <= k (early-exit DP)."""

@@ -252,6 +252,34 @@ def test_missing_seg_input_with_docs_is_an_error(built, tmp_path):
         build_index(ds, index_dir, num_segments=2, batch_size=400)
 
 
+def test_expansion_resolve_against_matches_scan():
+    """Binary-search expansion resolution == brute matcher scan on every kind."""
+    from lucille_ray.search.eval import ExpansionSpec
+
+    vocab = np.array(sorted(
+        ["cat", "catalog", "cater", "cats", "dog", "scan", "scat", "s",
+         "zebra", "az", "a", "sc0", "sd"]), dtype=object)
+    specs = [
+        ExpansionSpec("text", "prefix", ("cat",)),
+        ExpansionSpec("text", "prefix", ("s",)),
+        ExpansionSpec("text", "prefix", ("zzz",)),
+        ExpansionSpec("text", "range", ("cat", "scan", True, True)),
+        ExpansionSpec("text", "range", ("cat", "scan", False, False)),
+        ExpansionSpec("text", "range", (None, "dog", True, True)),
+        ExpansionSpec("text", "range", ("s", None, True, True)),
+        ExpansionSpec("text", "wildcard", ("cat.*",)),
+        ExpansionSpec("text", "wildcard", ("s.an",)),
+        ExpansionSpec("text", "wildcard", (".*at",)),
+        ExpansionSpec("text", "fuzzy", ("cat", 1)),
+        ExpansionSpec("text", "fuzzy", ("scan", 2)),
+        ExpansionSpec("text", "regex", ("c.t.*",)),
+    ]
+    for spec in specs:
+        fast = sorted(spec.resolve_against(vocab).tolist())
+        slow = sorted(vocab[spec.matcher()(vocab)].tolist())
+        assert fast == slow, spec
+
+
 def test_expansion_bound_enforced_across_segments(ray_session, tmp_path, monkeypatch):
     """Each segment's expansion stays under the bound but the cross-segment
     union exceeds it: plan() must raise (maxClauseCount semantics)."""
