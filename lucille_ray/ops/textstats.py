@@ -126,29 +126,39 @@ def lang_id(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Normalized-content fingerprint: md5 of the space-joined analyzed tokens
-    (canonical form is whitespace/punctuation/case-insensitive); plus a 61-bit
-    rolling polynomial hash for cheap streaming comparison."""
+    (canonical form is whitespace/punctuation/case-insensitive); plus a rolling
+    polynomial hash for cheap streaming comparison.
 
-    M = (1 << 61) - 1
-    BASE = 1000003
+    The rolling hash uses the repo-wide integer hash contract (token u =
+    md5_number_lower % P31, left fold (cur*C + u) % P31 — see ops/dedup.py), so
+    md5 runs once per UNIQUE batch token and the fold is a segmented numpy
+    pass; it is also exactly reproducible in SQL (oracle_sql / list_reduce)."""
+
+    from .dedup import FOLD_C, P31, _flat_token_us
 
     def fn(batch: pa.Table) -> pa.Table:
-        toks_col = arrow_tokenize(batch[text_col]).to_pylist()
-        md5s, rolls = [], []
-        for toks in toks_col:
-            toks = toks or []
-            joined = " ".join(toks)
-            md5s.append(hashlib.md5(joined.encode()).hexdigest())
-            h = 0
-            for t in toks:
-                th = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
-                h = (h * BASE + th) % M
-            rolls.append(h)
+        toks_arr = arrow_tokenize(batch[text_col])
+        toks_col = toks_arr.to_pylist()
+        md5s = [
+            hashlib.md5(" ".join(toks or []).encode()).hexdigest()
+            for toks in toks_col
+        ]
+        us, counts = _flat_token_us(batch[text_col])
+        n = counts.size
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        rolls = np.zeros(n, dtype=np.uint64)
+        C = np.uint64(FOLD_C)
+        P = np.uint64(P31)
+        max_len = int(counts.max()) if n else 0
+        for j in range(max_len):  # passes = longest doc, each fully vectorized
+            live = counts > j
+            rolls[live] = (rolls[live] * C + us[offsets[:-1][live] + j]) % P
         return pa.table(
             {
                 id_col: batch[id_col],
                 "fingerprint_md5": pa.array(md5s),
-                "rolling_hash": pa.array(np.array(rolls, dtype=np.int64)),
+                "rolling_hash": pa.array(rolls.astype(np.int64)),
             }
         )
 

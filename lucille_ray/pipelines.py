@@ -161,7 +161,7 @@ def lang_id_q(sf_dir: str):
 
 def fingerprint_q(sf_dir: str):
     ds = fingerprints(_documents(sf_dir, ["doc_id", "text"]))
-    return ds.select_columns(["doc_id", "fingerprint_md5"])
+    return ds.select_columns(["doc_id", "fingerprint_md5", "rolling_hash"])
 
 
 def knn_q(sf_dir: str) -> pa.Table:
@@ -458,8 +458,16 @@ FROM arr"""
 
 
 def _sql_fingerprint() -> str:
+    from .ops.dedup import FOLD_C, P31
+
     te = osql.tokens_expr("text")
-    return f"""SELECT doc_id, md5(array_to_string({te}, ' ')) AS fingerprint_md5
+    return f"""SELECT doc_id,
+       md5(array_to_string({te}, ' ')) AS fingerprint_md5,
+       CAST(list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform({te}, t -> CAST(md5_number_lower(t) % {P31} AS BIGINT))),
+         (acc, u) -> (acc * {FOLD_C} + u) % {P31}
+       ) AS BIGINT) AS rolling_hash
 FROM documents"""
 
 
