@@ -8,9 +8,13 @@ The driver calls ``ray.init`` itself BEFORE importing this module; nothing here
   Ray Data, run a compound BM25 query, return the top-k as a pyarrow Table.
 * ``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2 +
   training-data ops); each callable takes ``sf_dir``.
-* ``oracle_sql()`` — DuckDB-equivalent SQL per query where expressible (the
-  non-SQL-expressible entries — LSH signatures, simhash, multimodal features,
-  IVF ANN — are intentionally omitted and get the driver's rows-only check).
+* ``oracle_sql()`` — DuckDB-equivalent SQL per query. As of round 2 EVERY entry
+  has an oracle: the formerly rows-only ops (LSH signatures, simhash, image
+  features, IVF ANN) became SQL-checkable by pinning their hashing to an exact
+  integer contract both numpy and DuckDB evaluate (md5_number_lower + mod-2^31
+  folds; digest-byte reconstruction for the fake image payloads; exhaustive
+  probing for the IVF driver entry, with recall@k pytest goldens covering the
+  pruned path).
 """
 
 from __future__ import annotations
