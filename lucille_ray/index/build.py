@@ -82,7 +82,7 @@ def _limit_worker_threads() -> None:
 #: 64-row groups give the selectivity while larger files avoid per-file
 #: open/close overhead (the previous 64-row FILES meant tens of thousands of
 #: files per segment)
-POSTINGS_WRITE_ARGS = {"max_rows_per_file": 16384, "row_group_size": 64}
+POSTINGS_WRITE_ARGS = {"max_rows_per_file": 16384, "row_group_size": 16}
 
 INDEX_META_FILE = "index_meta.json"
 MANIFEST_FILE = "MANIFEST.json"

@@ -24,8 +24,17 @@ from .build import INDEX_META_FILE, MANIFEST_FILE, NORMS_TERM, _limit_worker_thr
 from .codec import POSTINGS_SCHEMA, decode_postings, encode_postings, sort_postings
 
 
+#: max blocks per consolidated posting row (~32k postings, a few hundred KB):
+#: a hot term's postings split across multiple doc-ordered rows (bucket = first
+#: doc of the chunk) so one row cell can never grow to tens of MB — row-group
+#: predicate pushdown then reads a bounded byte volume per term lookup instead
+#: of a whole segment's postings for one hot term
+ROW_BLOCK_CAP = 256
+
+
 def _merge_pieces(group: pa.Table) -> pa.Table:
-    """All piece rows of one (field, term) -> one consolidated row."""
+    """All piece rows of one (field, term) -> doc-ordered consolidated rows of
+    at most ROW_BLOCK_CAP blocks each."""
     _limit_worker_threads()
     field = group["field"][0].as_py()
     term = group["term"][0].as_py()
@@ -36,15 +45,26 @@ def _merge_pieces(group: pa.Table) -> pa.Table:
     docs, tfs, pos = decode_postings(blocks, want_positions=want_pos)
     docs, tfs, pos = sort_postings(docs, tfs, pos)
     merged = encode_postings(docs, tfs, pos)
+    out_bucket, out_df, out_ttf, out_blocks = [], [], [], []
+    from .codec import BLOCK_SIZE
+
+    for c0 in range(0, max(len(merged), 1), ROW_BLOCK_CAP):
+        chunk = merged[c0: c0 + ROW_BLOCK_CAP]
+        d0 = c0 * BLOCK_SIZE
+        d1 = min(d0 + ROW_BLOCK_CAP * BLOCK_SIZE, docs.size)
+        out_bucket.append(int(docs[d0]) if docs.size else 0)
+        out_df.append(int(d1 - d0))
+        out_ttf.append(int(tfs[d0:d1].sum()) if docs.size else 0)
+        out_blocks.append(chunk)
     return pa.table(
         {
-            "field": pa.array([field], pa.string()),
-            "term": pa.array([term], pa.string()),
-            "bucket": pa.array([int(docs[0]) if docs.size else 0], pa.int64()),
-            "df": pa.array([int(docs.size)], pa.int64()),
-            "total_tf": pa.array([int(tfs.sum())], pa.int64()),
+            "field": pa.array([field] * len(out_blocks), pa.string()),
+            "term": pa.array([term] * len(out_blocks), pa.string()),
+            "bucket": pa.array(out_bucket, pa.int64()),
+            "df": pa.array(out_df, pa.int64()),
+            "total_tf": pa.array(out_ttf, pa.int64()),
             "blocks": pa.array(
-                [merged], pa.list_(POSTINGS_SCHEMA.field("blocks").type.value_type)
+                out_blocks, pa.list_(POSTINGS_SCHEMA.field("blocks").type.value_type)
             ),
         }
     )

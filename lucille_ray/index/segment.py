@@ -56,6 +56,10 @@ class SegmentReader:
         # undecoded raw block rows (WAND path: metadata-guided selective decode)
         self._raw_cache: "OrderedDict[Tuple[str, str], list]" = OrderedDict()
         self._raw_cache_cap = 256
+        # candidate-pruned decodes, keyed by the candidate-set digest: repeat
+        # conjunctive queries decode each pruned subset once, not per query
+        self._pruned_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self._pruned_cache_cap = 128
 
     # ---- stats ----
 
@@ -144,9 +148,16 @@ class SegmentReader:
         if self.empty or not terms:
             return {}
         out: Dict[str, Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]] = {}
+        cand_key = None
+        if candidates is not None:
+            import hashlib as _hl
+
+            cand_key = _hl.md5(np.ascontiguousarray(candidates).tobytes()).hexdigest()[:16]
         missing = []
         for term in set(terms):
             hit = self._post_cache.get((field, term, want_positions))
+            if hit is None and cand_key is not None:
+                hit = self._pruned_cache.get((field, term, want_positions, cand_key))
             if hit is not None:
                 out[term] = hit
             else:
@@ -154,11 +165,15 @@ class SegmentReader:
         if not missing:
             return out
         fetched = self._postings_read(field, missing, want_positions, candidates)
-        if candidates is None:
-            for term, val in fetched.items():
+        for term, val in fetched.items():
+            if candidates is None:
                 self._post_cache[(field, term, want_positions)] = val
                 while len(self._post_cache) > self._post_cache_cap:
                     self._post_cache.popitem(last=False)
+            else:
+                self._pruned_cache[(field, term, want_positions, cand_key)] = val
+                while len(self._pruned_cache) > self._pruned_cache_cap:
+                    self._pruned_cache.popitem(last=False)
         out.update(fetched)
         return out
 

@@ -296,8 +296,22 @@ def wand_top_k(
                 # in this pinned scorer become cache hits (the skip saves little)
                 docs, tfs = _decode_full(reader, field, term, blocks)
             else:
-                sub = [b for b, o in zip(blocks, ok) if o]
-                docs, tfs = _decode_blocks(sub)
+                # selective decode, memoized per block-subset: repeat queries
+                # produce the same surviving mask and skip the decode entirely
+                import hashlib as _hl
+
+                pcache = getattr(reader, "_wand_pruned_cache", None)
+                if pcache is None:
+                    pcache = reader._wand_pruned_cache = {}
+                key = (field, term, _hl.md5(ok.tobytes()).hexdigest()[:16])
+                cached = pcache.get(key)
+                if cached is None:
+                    sub = [b for b, o in zip(blocks, ok) if o]
+                    cached = _decode_blocks(sub)
+                    pcache[key] = cached
+                    if len(pcache) > 64:
+                        pcache.pop(next(iter(pcache)))
+                docs, tfs = cached
         results[i] = (
             docs,
             _bm25_exact(reader, ctx, field, term, boost, docs, tfs, full=full),
