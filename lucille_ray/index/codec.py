@@ -76,20 +76,30 @@ def encode_varints(values: np.ndarray) -> bytes:
 
 
 def decode_varints(buf: bytes) -> np.ndarray:
-    """Inverse of :func:`encode_varints`; returns int64 array."""
+    """Inverse of :func:`encode_varints`; returns int64 array.
+
+    Fast paths for the distribution posting lists actually have: hot terms'
+    doc gaps / tfs / position deltas are overwhelmingly single-byte, so the
+    all-single-byte case is one cast and the mixed case touches only the
+    multi-byte minority in the per-byte loop."""
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.int64)
-    ends = np.flatnonzero(b < 128)
+    cont = b >= 128
+    if not cont.any():
+        return b.astype(np.int64)  # every value is a single byte
+    ends = np.flatnonzero(~cont)
     starts = np.empty(ends.size, dtype=np.int64)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
     lengths = ends - starts + 1
-    out = np.zeros(ends.size, dtype=np.uint64)
-    for j in range(int(lengths.max())):
-        mask = lengths > j
-        out[mask] |= (b[starts[mask] + j].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * j)
-    return out.astype(np.int64)
+    # mixed widths: weight every byte by 128^(position within its value) and
+    # segment-sum — full-vector ops, no per-width masking loop
+    pos = np.arange(b.size, dtype=np.int64) - np.repeat(starts, lengths)
+    contrib = (b.astype(np.uint64) & np.uint64(0x7F)) << (
+        np.uint64(7) * pos.astype(np.uint64)
+    )
+    return np.add.reduceat(contrib, starts).astype(np.int64)
 
 
 def delta_encode(values: np.ndarray, seg_starts: Optional[np.ndarray] = None) -> np.ndarray:

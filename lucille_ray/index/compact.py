@@ -111,9 +111,16 @@ def compact_index(index_dir: str, *, resume: bool = True) -> None:
         from .build import POSTINGS_WRITE_ARGS
 
         ds = ray.data.read_parquet(postings_path)
+        # the final sort is what makes term lookups cheap: hash-groupby output
+        # scatters terms across row groups, so every row group's term min/max
+        # spans the whole vocabulary and predicate pushdown can never prune —
+        # a cold hot-term lookup then reads EVERY posting blob in the segment.
+        # Term-clustered row groups turn that into a few-row-group read.
         ds.groupby(["field", "term"]).map_groups(
             _merge_pieces, batch_format="pyarrow"
-        ).write_parquet(tmp_path, **POSTINGS_WRITE_ARGS)
+        ).sort(["field", "term", "bucket"]).write_parquet(
+            tmp_path, **POSTINGS_WRITE_ARGS
+        )
         # atomic publish: old dir moves aside, tmp takes its place
         bak = postings_path + ".bak"
         shutil.rmtree(bak, ignore_errors=True)
