@@ -75,14 +75,15 @@ def encode_varints(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
-def decode_varints(buf: bytes) -> np.ndarray:
-    """Inverse of :func:`encode_varints`; returns int64 array.
+def decode_varints(buf) -> np.ndarray:
+    """Inverse of :func:`encode_varints` (accepts bytes or a uint8 ndarray view);
+    returns int64 array.
 
     Fast paths for the distribution posting lists actually have: hot terms'
     doc gaps / tfs / position deltas are overwhelmingly single-byte, so the
     all-single-byte case is one cast and the mixed case touches only the
     multi-byte minority in the per-byte loop."""
-    b = np.frombuffer(buf, dtype=np.uint8)
+    b = buf if isinstance(buf, np.ndarray) else np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.int64)
     cont = b >= 128
@@ -93,13 +94,24 @@ def decode_varints(buf: bytes) -> np.ndarray:
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
     lengths = ends - starts + 1
-    # mixed widths: weight every byte by 128^(position within its value) and
-    # segment-sum — full-vector ops, no per-width masking loop
-    pos = np.arange(b.size, dtype=np.int64) - np.repeat(starts, lengths)
-    contrib = (b.astype(np.uint64) & np.uint64(0x7F)) << (
-        np.uint64(7) * pos.astype(np.uint64)
-    )
-    return np.add.reduceat(contrib, starts).astype(np.int64)
+    out = np.zeros(ends.size, dtype=np.int64)
+    single = lengths == 1
+    out[single] = b[starts[single]]
+    # the multi-byte MINORITY (block-start absolutes, long doc lengths, big
+    # gaps) goes through the per-byte loop; posting streams are dominated by
+    # single-byte deltas, so the 64-bit temporaries stay small
+    multi = np.flatnonzero(~single)
+    if multi.size:
+        m_starts = starts[multi]
+        m_lengths = lengths[multi]
+        acc = np.zeros(multi.size, dtype=np.uint64)
+        for j in range(int(m_lengths.max())):
+            mask = m_lengths > j
+            acc[mask] |= (
+                b[m_starts[mask] + j].astype(np.uint64) & np.uint64(0x7F)
+            ) << np.uint64(7 * j)
+        out[multi] = acc.astype(np.int64)
+    return out
 
 
 def delta_encode(values: np.ndarray, seg_starts: Optional[np.ndarray] = None) -> np.ndarray:
@@ -209,6 +221,100 @@ def encode_postings(
             block["pos"] = pos_mem[pos_boff[p0]: pos_boff[p1]]
         blocks.append(block)
     return blocks
+
+
+def _bin_view(arr: pa.Array) -> Tuple[np.ndarray, np.ndarray]:
+    """(flat uint8 values, int64 offsets) zero-copy view of a Binary array
+    (slice offsets respected)."""
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[
+        arr.offset: arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    vals = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    return vals, offs
+
+
+class RawBlocks:
+    """Zero-copy view over one term's UNDECODED posting blocks (the flattened
+    ``blocks`` struct children of its rows, in bucket order).
+
+    Replaces the list-of-dict representation: materializing tens of thousands
+    of Python block dicts (``to_pylist``) and re-joining their payload bytes
+    dominated cold hot-term lookups. Here metadata columns are numpy views and
+    payload decode slices the shared byte buffers directly (a single slice for
+    a full decode; per-run slices for a selective one)."""
+
+    __slots__ = ("count", "ns", "max_tf", "firsts", "lasts", "_docs", "_tfs", "_pos")
+
+    def __init__(self, struct_arr: pa.Array):
+        if isinstance(struct_arr, pa.ChunkedArray):
+            struct_arr = struct_arr.combine_chunks()
+        self.count = len(struct_arr)
+        self.ns = struct_arr.field("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        self.max_tf = struct_arr.field("max_tf").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        self.firsts = struct_arr.field("first_doc").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        self.lasts = struct_arr.field("last_doc").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        self._docs = _bin_view(struct_arr.field("docs"))
+        self._tfs = _bin_view(struct_arr.field("tfs"))
+        self._pos = _bin_view(struct_arr.field("pos"))
+
+    def __len__(self) -> int:
+        return self.count
+
+    @staticmethod
+    def _gather(view: Tuple[np.ndarray, np.ndarray], sel: Optional[np.ndarray]) -> np.ndarray:
+        vals, offs = view
+        if offs.size <= 1:
+            return np.empty(0, np.uint8)
+        if sel is None:
+            return vals[offs[0]: offs[-1]]
+        if not sel.size:
+            return np.empty(0, np.uint8)
+        # concatenate per-RUN slices (selected blocks are usually contiguous)
+        run_breaks = np.flatnonzero(np.diff(sel) != 1)
+        run_starts = np.concatenate([[0], run_breaks + 1])
+        run_ends = np.concatenate([run_breaks, [sel.size - 1]])
+        pieces = [
+            vals[offs[sel[a]]: offs[sel[b] + 1]]
+            for a, b in zip(run_starts, run_ends)
+        ]
+        return pieces[0] if len(pieces) == 1 else np.concatenate(pieces)
+
+    def decode(
+        self, want_positions: bool = False, keep: Optional[np.ndarray] = None
+    ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+        """(doc_ids, tfs, flat positions|None) for all blocks, or only those
+        where ``keep`` (a boolean mask over blocks) is True."""
+        sel = None if keep is None else np.flatnonzero(keep)
+        ns = self.ns if sel is None else self.ns[sel]
+        if ns.size == 0 or int(ns.sum()) == 0:
+            return (
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.int64) if want_positions else None,
+            )
+        block_starts = np.zeros(ns.size, dtype=np.int64)
+        np.cumsum(ns[:-1], out=block_starts[1:])
+        doc_deltas = decode_varints(self._gather(self._docs, sel))
+        doc_ids = delta_decode(doc_deltas, block_starts, ns)
+        tfs = decode_varints(self._gather(self._tfs, sel))
+        pos = None
+        if want_positions:
+            doc_pos_starts = np.zeros(tfs.size, dtype=np.int64)
+            np.cumsum(tfs[:-1], out=doc_pos_starts[1:])
+            pos_deltas = decode_varints(self._gather(self._pos, sel))
+            pos = delta_decode(pos_deltas, doc_pos_starts, tfs.astype(np.int64))
+        return doc_ids, tfs, pos
 
 
 def decode_postings(

@@ -116,9 +116,12 @@ def compact_index(index_dir: str, *, resume: bool = True) -> None:
         # spans the whole vocabulary and predicate pushdown can never prune —
         # a cold hot-term lookup then reads EVERY posting blob in the segment.
         # Term-clustered row groups turn that into a few-row-group read.
+        # repartition(order-preserving coalesce) keeps the file count small: a
+        # term lookup opens every file's footer, so hundreds of tiny sort-output
+        # files put a ~0.5 s floor under COLD lookups
         ds.groupby(["field", "term"]).map_groups(
             _merge_pieces, batch_format="pyarrow"
-        ).sort(["field", "term", "bucket"]).write_parquet(
+        ).sort(["field", "term", "bucket"]).repartition(8).write_parquet(
             tmp_path, **POSTINGS_WRITE_ARGS
         )
         # atomic publish: old dir moves aside, tmp takes its place

@@ -29,7 +29,7 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from .build import NORMS_TERM
-from .codec import decode_postings, sort_postings
+from .codec import RawBlocks, sort_postings
 
 
 class SegmentReader:
@@ -191,12 +191,15 @@ class SegmentReader:
         raw = self.raw_blocks_many(field, terms)
         out: Dict[str, Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]] = {}
         for term in set(terms):
-            blocks = raw.get(term) or []
-            if not blocks:
+            rb = raw.get(term)
+            if rb is None or not len(rb):
                 continue
+            keep = None
             if candidates is not None:
-                blocks = _prune_blocks(blocks, candidates)
-            docs, tfs, pos = decode_postings(blocks, want_positions)
+                keep = _overlap_mask(rb.firsts, rb.lasts, candidates)
+                if not keep.any():
+                    continue
+            docs, tfs, pos = rb.decode(want_positions, keep=keep)
             if docs.size > 1 and (np.diff(docs) <= 0).any():
                 # doc_partitioned pieces can interleave ranges; restore doc order
                 docs, tfs, pos = sort_postings(docs, tfs, pos)
@@ -208,13 +211,14 @@ class SegmentReader:
     ) -> Optional[Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]]:
         return self.postings_many(field, [term], want_positions).get(term)
 
-    def raw_blocks_many(self, field: str, terms: Sequence[str]) -> Dict[str, list]:
-        """UNDECODED block rows per term (bucket order), for metadata-guided
-        selective decode (block-max WAND). One predicate-pushdown read for all
-        missing terms; cached like decoded postings."""
+    def raw_blocks_many(self, field: str, terms: Sequence[str]) -> Dict[str, RawBlocks]:
+        """UNDECODED blocks per term (bucket order) as zero-copy
+        :class:`RawBlocks` views, for metadata-guided selective decode
+        (block-max WAND / conjunctive pruning). One predicate-pushdown read for
+        all missing terms; cached like decoded postings."""
         if self.empty or not terms:
             return {}
-        out: Dict[str, list] = {}
+        out: Dict[str, RawBlocks] = {}
         missing = []
         for term in set(terms):
             hit = self._raw_cache.get((field, term))
@@ -233,20 +237,25 @@ class SegmentReader:
                     t, sort_keys=[("term", "ascending"), ("bucket", "ascending")]
                 )
                 t = t.take(order)
+                lists = t["blocks"].combine_chunks()
+                loff = np.asarray(lists.offsets)
+                flat = lists.values
                 terms_np = t["term"].to_pylist()
-                blocks_col = t["blocks"].to_pylist()
                 i = 0
                 while i < len(terms_np):
                     j = i
-                    blocks: list = []
                     while j < len(terms_np) and terms_np[j] == terms_np[i]:
-                        blocks.extend(blocks_col[j])
                         j += 1
-                    out[terms_np[i]] = blocks
+                    lo, hi = int(loff[i]), int(loff[j])
+                    out[terms_np[i]] = RawBlocks(flat.slice(lo, hi - lo))
                     i = j
             for term in missing:
-                blocks = out.setdefault(term, [])
-                self._raw_cache[(field, term)] = blocks
+                rb = out.get(term)
+                if rb is None:
+                    rb = out[term] = RawBlocks(
+                        pa.array([], type=_BLOCK_STRUCT_TYPE)
+                    )
+                self._raw_cache[(field, term)] = rb
                 while len(self._raw_cache) > self._raw_cache_cap:
                     self._raw_cache.popitem(last=False)
         return out
@@ -269,14 +278,18 @@ class SegmentReader:
         )
 
 
-def _prune_blocks(blocks: List[dict], candidates: np.ndarray) -> List[dict]:
-    """Keep only blocks whose doc range overlaps at least one candidate doc."""
-    firsts = np.fromiter((b["first_doc"] for b in blocks), np.int64, len(blocks))
-    lasts = np.fromiter((b["last_doc"] for b in blocks), np.int64, len(blocks))
+from .codec import POSTINGS_SCHEMA as _PS
+
+_BLOCK_STRUCT_TYPE = _PS.field("blocks").type.value_type
+
+
+def _overlap_mask(
+    firsts: np.ndarray, lasts: np.ndarray, candidates: np.ndarray
+) -> np.ndarray:
+    """True for blocks whose doc range contains at least one candidate doc."""
     lo = np.searchsorted(candidates, firsts, side="left")
     hi = np.searchsorted(candidates, lasts, side="right")
-    keep = hi > lo
-    return [b for b, k in zip(blocks, keep) if k]
+    return hi > lo
 
 
 def load_segments(index_dir: str) -> List[SegmentReader]:

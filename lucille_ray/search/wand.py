@@ -127,20 +127,16 @@ def _block_dl_min(reader, field: str, firsts: np.ndarray, lasts: np.ndarray) -> 
     return out
 
 
-def _term_block_meta(reader, field: str, term: str, blocks) -> tuple:
+def _term_block_meta(reader, field: str, term: str, rb) -> tuple:
     """(firsts, lasts, max_tf, dl_min) arrays per block, memoized on the reader
-    — the per-query fromiter over block dicts was a measured hotspot."""
+    (metadata is a zero-copy RawBlocks view; only dl_min needs computing)."""
     cache = getattr(reader, "_wand_meta_cache", None)
     if cache is None:
         cache = reader._wand_meta_cache = {}
     m = cache.get((field, term))
     if m is None:
-        nb = len(blocks)
-        firsts = np.fromiter((b["first_doc"] for b in blocks), np.int64, nb)
-        lasts = np.fromiter((b["last_doc"] for b in blocks), np.int64, nb)
-        max_tf = np.fromiter((b["max_tf"] for b in blocks), np.float64, nb)
-        dl_min = _block_dl_min(reader, field, firsts, lasts)
-        m = (firsts, lasts, max_tf, dl_min)
+        dl_min = _block_dl_min(reader, field, rb.firsts, rb.lasts)
+        m = (rb.firsts, rb.lasts, rb.max_tf.astype(np.float64), dl_min)
         cache[(field, term)] = m
         if len(cache) > 512:
             cache.pop(next(iter(cache)))
@@ -193,20 +189,20 @@ def wand_top_k(
         for t, blocks in reader.raw_blocks_many(f, ts).items()
     }
 
-    terms_meta = []  # (field, term, boost, blocks, firsts, lasts, ub_blocks)
+    terms_meta = []  # (field, term, boost, rb, firsts, lasts, ub_blocks)
     for field, term, boost in parts:
         idf = ctx.idf(field, term)
         if idf <= 0.0:
             continue
-        blocks = raw.get((field, term)) or []
-        if not blocks:
+        rb = raw.get((field, term))
+        if rb is None or not len(rb):
             continue
-        firsts, lasts, max_tf, dl_min = _term_block_meta(reader, field, term, blocks)
+        firsts, lasts, max_tf, dl_min = _term_block_meta(reader, field, term, rb)
         avgdl = ctx.avgdl.get(field) or 1.0
         ub = boost * idf * max_tf * (K1 + 1.0) / (
             max_tf + K1 * (1.0 - B + B * dl_min / avgdl)
         )
-        terms_meta.append((field, term, boost, blocks, firsts, lasts, ub))
+        terms_meta.append((field, term, boost, rb, firsts, lasts, ub))
     if not terms_meta:
         return EMPTY
 
@@ -217,8 +213,8 @@ def wand_top_k(
     decoded: dict = {}  # index -> (docs, scores)
     seen_docs = 0
     for i in impact_order:
-        field, term, boost, blocks, *_ = terms_meta[i]
-        docs, tfs = _decode_full(reader, field, term, blocks)
+        field, term, boost, rb, *_ = terms_meta[i]
+        docs, tfs = _decode_full(reader, field, term, rb)
         scores = _bm25_exact(reader, ctx, field, term, boost, docs, tfs, full=True)
         decoded[i] = (docs, scores)
         seen_docs += docs.size
@@ -249,8 +245,8 @@ def wand_top_k(
     if not np.isfinite(theta):
         # nothing to prune against: decode everything
         for i in undecoded:
-            field, term, boost, blocks, *_ = terms_meta[i]
-            docs, tfs = _decode_full(reader, field, term, blocks)
+            field, term, boost, rb, *_ = terms_meta[i]
+            docs, tfs = _decode_full(reader, field, term, rb)
             results[i] = (
                 docs,
                 _bm25_exact(reader, ctx, field, term, boost, docs, tfs, full=True),
@@ -275,7 +271,7 @@ def wand_top_k(
     cand_hi = np.where(ends + 1 < xs_s.size, xs_s[ends + 1], np.iinfo(np.int64).max)
 
     for i in undecoded:
-        field, term, boost, blocks, firsts, lasts, _ub = terms_meta[i]
+        field, term, boost, rb, firsts, lasts, _ub = terms_meta[i]
         hit = reader._post_cache.get((field, term, False))
         if hit is not None:
             # already decoded by an earlier query: scoring the full cached list
@@ -294,7 +290,7 @@ def wand_top_k(
             if full:
                 # most blocks survive: decode fully and CACHE so repeat queries
                 # in this pinned scorer become cache hits (the skip saves little)
-                docs, tfs = _decode_full(reader, field, term, blocks)
+                docs, tfs = _decode_full(reader, field, term, rb)
             else:
                 # selective decode, memoized per block-subset: repeat queries
                 # produce the same surviving mask and skip the decode entirely
@@ -306,8 +302,7 @@ def wand_top_k(
                 key = (field, term, _hl.md5(ok.tobytes()).hexdigest()[:16])
                 cached = pcache.get(key)
                 if cached is None:
-                    sub = [b for b, o in zip(blocks, ok) if o]
-                    cached = _decode_blocks(sub)
+                    cached = _sorted2(rb.decode(False, keep=ok))
                     pcache[key] = cached
                     if len(pcache) > 64:
                         pcache.pop(next(iter(pcache)))
@@ -319,22 +314,22 @@ def wand_top_k(
     return _merge_top_k(results, k)
 
 
-def _decode_blocks(blocks) -> Tuple[np.ndarray, np.ndarray]:
-    from ..index.codec import decode_postings, sort_postings
+def _sorted2(triple) -> Tuple[np.ndarray, np.ndarray]:
+    from ..index.codec import sort_postings
 
-    docs, tfs, _ = decode_postings(blocks, False)
+    docs, tfs, _ = triple
     if docs.size > 1 and (np.diff(docs) <= 0).any():
         docs, tfs, _ = sort_postings(docs, tfs, None)
     return docs, tfs
 
 
-def _decode_full(reader, field: str, term: str, blocks) -> Tuple[np.ndarray, np.ndarray]:
+def _decode_full(reader, field: str, term: str, rb) -> Tuple[np.ndarray, np.ndarray]:
     """Full decode of a term, going through the reader's shared postings cache
     so repeat queries (WAND or not) stay warm."""
     hit = reader._post_cache.get((field, term, False))
     if hit is not None:
         return hit[0], hit[1]
-    docs, tfs = _decode_blocks(blocks)
+    docs, tfs = _sorted2(rb.decode(False))
     reader.cache_decoded(field, term, (docs, tfs, None))
     return docs, tfs
 

@@ -91,23 +91,27 @@ def test_wand_actually_skips_decodes(built, monkeypatch):
     q, reqs, ctx = engine.plan(f"xylophone42 OR {hot}")
     parts, scale = wand_parts(q)
 
-    decoded_docs = {"n": 0}
-    real = codec.decode_postings
+    decoded_vals = {"n": 0}
+    real = codec.decode_varints
 
-    def counting(blocks, want_positions=False):
-        out = real(blocks, want_positions)
-        decoded_docs["n"] += out[0].size
+    def counting(buf):
+        out = real(buf)
+        decoded_vals["n"] += out.size
         return out
 
-    monkeypatch.setattr("lucille_ray.index.codec.decode_postings", counting)
+    for f in ("text", "role", "tool"):
+        r.norms(f)  # pre-warm: norms decode is not what this test measures
+    monkeypatch.setattr("lucille_ray.index.codec.decode_varints", counting)
     r._post_cache.clear()
     r._raw_cache.clear()
+    getattr(r, "_wand_pruned_cache", {}).clear()
     wand_top_k(r, ctx, parts, k=3)
     df_hot = ctx.df.get(("text", hot), 0)
     assert df_hot > r.doc_count // 4  # the premise: the term really is hot
-    # decode must touch far fewer postings than full evaluation would
-    assert decoded_docs["n"] < df_hot // 2, (
-        f"decoded {decoded_docs['n']} docs; full eval would decode ~{df_hot}"
+    # full evaluation decodes ~2*df values (docs+tfs) for the hot term alone;
+    # score-skipping must touch far less
+    assert decoded_vals["n"] < df_hot, (
+        f"decoded {decoded_vals['n']} values; full eval would decode ~{2 * df_hot}"
     )
 
 
