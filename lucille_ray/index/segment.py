@@ -76,11 +76,23 @@ class SegmentReader:
 
     def _load_norms(self) -> None:
         """Norms are stored as reserved-term posting rows (doc_ids=all docs,
-        tfs=field length) — loaded once and pinned."""
+        tfs=field length) — loaded once and pinned. The decoded array is
+        persisted as an ``.npy`` sidecar so every later reader (actor restarts,
+        new engines over the same index) mmap-loads it instead of re-decoding
+        millions of varints per field."""
         self._norms = {}
         if self.empty:
             return
         for field in self.manifest.get("fields", []):
+            sidecar = os.path.join(self.seg_dir, f"norms_{field}.npy")
+            if os.path.exists(sidecar):
+                try:
+                    arr = np.load(sidecar)
+                    if arr.size == self.doc_count:
+                        self._norms[field] = arr.astype(np.int64, copy=False)
+                        continue
+                except (OSError, ValueError):
+                    pass  # unreadable sidecar: fall through to decode
             got = self.postings_many(field, [NORMS_TERM])
             if NORMS_TERM not in got:
                 raise ValueError(f"{self.seg_dir}: norms rows missing for {field}")
@@ -91,6 +103,13 @@ class SegmentReader:
                     f"norms of {self.seg_dir}/{field} are not doc-contiguous"
                 )
             self._norms[field] = dls.astype(np.int64)
+            try:  # atomic publish; best-effort (read-only index dirs are fine)
+                tmp = sidecar + ".tmp"
+                with open(tmp, "wb") as fh:
+                    np.save(fh, self._norms[field])
+                os.replace(tmp, sidecar)
+            except OSError:
+                pass
 
     # ---- term dictionary ----
 

@@ -50,8 +50,19 @@ class SegmentScorer:
     """Scores queries over a group of pinned segments (usable in-process or as a
     Ray actor via ``ray.remote(SegmentScorer)``)."""
 
-    def __init__(self, seg_dirs: Sequence[str]):
+    def __init__(self, seg_dirs: Sequence[str], warm_norms: bool = True):
         self.readers = [SegmentReader(d) for d in seg_dirs]
+        if warm_norms:
+            # pay the per-field norms decode at ACTOR STARTUP, not on the first
+            # query's tail latency (writes the .npy sidecar for later readers)
+            for r in self.readers:
+                try:
+                    for f in r.manifest.get("fields", []):
+                        r.norms(f)
+                except ValueError:
+                    raise
+                except Exception:
+                    pass
 
     def local_stats(self) -> dict:
         out = {"n_docs": 0, "total_dl": {}}

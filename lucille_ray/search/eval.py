@@ -306,34 +306,27 @@ class SegmentEval:
         self.reader = reader
         self.ctx = ctx
         self._cache: Dict[Tuple[str, str], tuple] = {}
-        self._offset_cache: Dict[Tuple[str, str], np.ndarray] = {}
         self._lazy = _conjunctive_prune_plan(query, ctx) if query is not None else set()
         self._prefetch(reqs)
 
     def _prefetch(self, reqs: TermRequests) -> None:
+        """Eagerly fetch DOCS-ONLY postings for every requested term (positions
+        included) — phrase/proximity evaluation intersects the doc lists first
+        and then fetches positions only for candidate-overlapping blocks
+        (decoding full positional streams of hot terms dominated phrase cost)."""
         by_field: Dict[str, Set[str]] = {}
-        pos_fields: Dict[str, Set[str]] = {}
         for f, t in reqs.exact:
             if (f, t) in self._lazy:
                 continue  # fetched later with candidate block pruning
             by_field.setdefault(f, set()).add(t)
         for f, t in reqs.positional:
-            pos_fields.setdefault(f, set()).add(t)
+            by_field.setdefault(f, set()).add(t)
         for spec, terms in self.ctx.expanded.items():
             by_field.setdefault(spec.field, set()).update(terms)
         for f, terms in by_field.items():
-            want_pos = pos_fields.get(f, set())
-            plain = [t for t in terms if t not in want_pos]
-            if plain:
-                got = self.reader.postings_many(f, plain, want_positions=False)
-                for t in plain:
-                    self._cache[(f, t)] = got.get(t, (EMPTY[0], EMPTY[0], None))
-            if want_pos:
-                got = self.reader.postings_many(
-                    f, list(want_pos), want_positions=True
-                )
-                for t in want_pos:
-                    self._cache[(f, t)] = got.get(t, (EMPTY[0], EMPTY[0], None))
+            got = self.reader.postings_many(f, sorted(terms), want_positions=False)
+            for t in terms:
+                self._cache[(f, t)] = got.get(t, (EMPTY[0], EMPTY[0], None))
 
     # ---- scoring primitives ----
 
@@ -379,23 +372,14 @@ class SegmentEval:
     # axis so the whole candidate set is processed in a handful of numpy passes
     _DOC_STRIDE = np.int64(1) << np.int64(22)
 
-    def _offsets_of(self, field: str, term: str) -> np.ndarray:
-        key = (field, term)
-        offs = self._offset_cache.get(key)
-        if offs is None:
-            docs, tfs, _ = self._cache[key]
-            offs = np.zeros(docs.size + 1, dtype=np.int64)
-            np.cumsum(tfs, out=offs[1:])
-            self._offset_cache[key] = offs
-        return offs
-
-    def _global_positions(
-        self, field: str, term: str, cand: np.ndarray
-    ) -> np.ndarray:
-        """Concatenated positions of `term` over the candidate docs, offset by
-        candidate-index * _DOC_STRIDE (sorted ascending by construction)."""
-        docs, tfs, pos = self._cache[(field, term)]
-        offs = self._offsets_of(field, term)
+    @staticmethod
+    def _global_positions(post: tuple, cand: np.ndarray, stride: np.int64) -> np.ndarray:
+        """Concatenated positions of one term's (pruned) postings over the
+        candidate docs, offset by candidate-index * stride (sorted ascending by
+        construction)."""
+        docs, tfs, pos = post
+        offs = np.zeros(docs.size + 1, dtype=np.int64)
+        np.cumsum(tfs, out=offs[1:])
         idx = np.searchsorted(docs, cand)
         lens = tfs[idx].astype(np.int64)
         starts = offs[idx]
@@ -404,7 +388,7 @@ class SegmentEval:
         total = int(lens.sum())
         gather = np.repeat(starts - out_off, lens) + np.arange(total, dtype=np.int64)
         doc_rep = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
-        return doc_rep * self._DOC_STRIDE + pos[gather]
+        return doc_rep * stride + pos[gather]
 
     def _phrase(
         self, field: str, text: str, gap: int
@@ -414,21 +398,41 @@ class SegmentEval:
             return EMPTY
         if len(terms) == 1:
             return self._term(field, terms[0])
-        posts = [self._cache.get((field, t)) for t in terms]
-        if any(p is None or p[0].size == 0 or p[2] is None for p in posts):
+        # 1) docs-only intersection (cheap; positions never decoded for docs
+        #    that can't possibly match)
+        plain = []
+        for t in terms:
+            p = self._cache.get((field, t))
+            if p is None:
+                p = self.reader.postings_many(field, [t]).get(
+                    t, (EMPTY[0], EMPTY[0], None)
+                )
+                self._cache[(field, t)] = p
+            plain.append(p)
+        if any(p[0].size == 0 for p in plain):
             return EMPTY
-        cand = posts[0][0]
-        for p in posts[1:]:
+        cand = plain[0][0]
+        for p in plain[1:]:
             cand = np.intersect1d(cand, p[0], assume_unique=True)
             if cand.size == 0:
                 return EMPTY
+        # 2) positional fetch pruned to candidate-overlapping blocks (cached by
+        #    candidate digest, so repeat queries skip the decode)
+        got = self.reader.postings_many(
+            field, terms, want_positions=True, candidates=cand
+        )
+        posts = [got.get(t) for t in terms]
+        if any(p is None or p[0].size == 0 or p[2] is None for p in posts):
+            return EMPTY
         # backward reachability DP over ALL candidate docs at once: B holds the
         # global positions of term_i that can complete a chain to the last term
         # with every consecutive gap <= `gap`; freq(doc) = count of START
         # positions with a feasible chain (greedy-next is NOT existence-optimal
         # under a per-gap bound, so full frontiers are kept). The doc stride
         # guarantees chains never cross documents (gap + 1 << stride).
-        glob = [self._global_positions(field, t, cand) for t in terms]
+        glob = [
+            self._global_positions(p, cand, self._DOC_STRIDE) for p in posts
+        ]
         B = glob[-1]
         for i in range(len(glob) - 2, -1, -1):
             P = glob[i]
