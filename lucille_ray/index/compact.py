@@ -116,13 +116,13 @@ def compact_index(index_dir: str, *, resume: bool = True) -> None:
         # spans the whole vocabulary and predicate pushdown can never prune —
         # a cold hot-term lookup then reads EVERY posting blob in the segment.
         # Term-clustered row groups turn that into a few-row-group read.
-        # repartition(order-preserving coalesce) keeps the file count small: a
-        # term lookup opens every file's footer, so hundreds of tiny sort-output
-        # files put a ~0.5 s floor under COLD lookups
+        # min_rows_per_file coalesces the sort's many small output blocks at
+        # write time (no extra pass): a term lookup opens every file's footer,
+        # so hundreds of tiny files put a ~0.5 s floor under COLD lookups
         ds.groupby(["field", "term"]).map_groups(
             _merge_pieces, batch_format="pyarrow"
-        ).sort(["field", "term", "bucket"]).repartition(8).write_parquet(
-            tmp_path, **POSTINGS_WRITE_ARGS
+        ).sort(["field", "term", "bucket"]).write_parquet(
+            tmp_path, min_rows_per_file=2048, **POSTINGS_WRITE_ARGS
         )
         # atomic publish: old dir moves aside, tmp takes its place
         bak = postings_path + ".bak"
