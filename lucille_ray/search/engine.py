@@ -104,9 +104,9 @@ class SegmentScorer:
         self, query: qn.Query, reqs: TermRequests, ctx: EvalContext, k: Optional[int]
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Evaluate across this scorer's segments; local top-k unless ``k`` is
-        None (match-all / corpus-filtering mode). Disjunctions of simple terms
-        with finite k take the block-max WAND score-skipping path (exact by
-        construction; see wand.py)."""
+        None (match-all / corpus-filtering mode). Disjunctions and m-of-n
+        MinimumMatch over simple terms with finite k take the block-max WAND
+        score-skipping path (exact by construction; see wand.py)."""
         from .wand import wand_parts, wand_top_k
 
         wand = wand_parts(query) if k is not None else None
@@ -115,8 +115,8 @@ class SegmentScorer:
             if r.doc_count == 0:
                 continue
             if wand is not None:
-                parts, scale = wand
-                docs, scores = wand_top_k(r, ctx, parts, k)
+                parts, scale, min_match = wand
+                docs, scores = wand_top_k(r, ctx, parts, k, min_match)
                 if scale != 1.0:
                     scores = scores * scale
             else:

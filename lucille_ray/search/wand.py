@@ -59,11 +59,13 @@ SCORE_CACHE_BYTES = 256 << 20
 
 def wand_parts(
     q: qn.Query, field: str = DEFAULT_FIELD
-) -> Optional[Tuple[List[Tuple[str, str, float]], float]]:
-    """Match the WAND-eligible shape: (Group/Boost/Field)* wrapping an Or whose
-    children are all simple single-token terms. Returns (merged (field, term,
-    boost) parts, root scale) or None. Duplicate terms merge by summing boosts
-    (Or sums matching clause scores)."""
+) -> Optional[Tuple[List[Tuple[str, str, float]], float, int]]:
+    """Match the WAND-eligible shapes: (Group/Boost/Field)* wrapping either an
+    Or or a MinimumMatch whose children are all simple single-token terms.
+    Returns ((field, term, boost) parts, root scale, m) or None, where m is the
+    minimum number of matching clauses (1 for Or, ``q.num`` for MinimumMatch —
+    Query.scala:270-277's ``(a b c)@2``). Duplicate terms fall back (eval sums /
+    counts duplicate clauses separately)."""
     scale = 1.0
     while isinstance(q, (qn.Group, qn.Boost, qn.Field)):
         if isinstance(q, qn.Boost):
@@ -71,11 +73,19 @@ def wand_parts(
         elif isinstance(q, qn.Field):
             field = q.field
         q = q.q
-    if not isinstance(q, qn.Or) or len(q.qs) < 2:
+    if isinstance(q, qn.Or):
+        clauses, m = q.qs, 1
+    elif isinstance(q, qn.MinimumMatch):
+        # eval treats num <= 0 as 1 and num > len(qs) as unsatisfiable; the
+        # latter is handled in wand_top_k so the EMPTY short-circuit matches
+        clauses, m = q.qs, max(int(q.num), 1)
+    else:
+        return None
+    if len(clauses) < 2:
         return None
     parts: List[Tuple[str, str, float]] = []
     seen = set()
-    for c in q.qs:
+    for c in clauses:
         s = simple_term_of(c, field)
         if s is None:
             return None
@@ -86,7 +96,7 @@ def wand_parts(
         parts.append((f, t, b))
     if scale <= 0 or any(b <= 0 for _f, _t, b in parts):
         return None  # non-positive boosts flip the bound direction; fall back
-    return parts, scale
+    return parts, scale, m
 
 
 def _norms_window_min(reader, field: str) -> np.ndarray:
@@ -176,10 +186,18 @@ def _bm25_exact(reader, ctx: EvalContext, field: str, term: str, boost: float,
 
 
 def wand_top_k(
-    reader, ctx: EvalContext, parts: List[Tuple[str, str, float]], k: int
+    reader, ctx: EvalContext, parts: List[Tuple[str, str, float]], k: int,
+    m: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Exact top-k of a disjunction of simple terms over one segment, decoding
-    only blocks whose doc interval can beat the bootstrap threshold."""
+    """Exact top-k of a disjunction (m=1) or m-of-n MinimumMatch (m>1) of
+    simple terms over one segment, decoding only blocks whose doc interval can
+    beat the bootstrap threshold AND is covered by >= m term ranges.
+
+    The m>1 path needs no θ: it decodes the n-(m-1) smallest posting lists as
+    an exact candidate superset and prunes the large terms' blocks against the
+    candidate doc positions (see :func:`_minmatch_top_k`)."""
+    if m > len(parts):
+        return EMPTY  # mirrors SegmentEval._minimum_match's num > len(qs) case
     by_field: dict = {}
     for field, term, boost in parts:
         by_field.setdefault(field, []).append(term)
@@ -203,8 +221,11 @@ def wand_top_k(
             max_tf + K1 * (1.0 - B + B * dl_min / avgdl)
         )
         terms_meta.append((field, term, boost, rb, firsts, lasts, ub))
-    if not terms_meta:
-        return EMPTY
+    if len(terms_meta) < m:
+        return EMPTY  # terms absent from the index can never supply m matches
+
+    if m > 1:
+        return _minmatch_top_k(reader, ctx, terms_meta, k, m)
 
     # ---- bootstrap θ: decode highest-impact terms until >= k docs seen ----
     impact_order = sorted(
@@ -212,38 +233,32 @@ def wand_top_k(
     )
     decoded: dict = {}  # index -> (docs, scores)
     seen_docs = 0
+    theta = -np.inf
     for i in impact_order:
         field, term, boost, rb, *_ = terms_meta[i]
         docs, tfs = _decode_full(reader, field, term, rb)
         scores = _bm25_exact(reader, ctx, field, term, boost, docs, tfs, full=True)
         decoded[i] = (docs, scores)
         seen_docs += docs.size
-        if seen_docs >= k and len(decoded) >= 1:
-            break
-
-    undecoded = [i for i in range(len(terms_meta)) if i not in decoded]
-    if not undecoded:
-        return _merge_top_k(decoded, k)
-
-    theta = -np.inf
-    if seen_docs >= k:
+        if seen_docs < k:
+            continue
         if len(decoded) == 1:
             # single decoded term: its docs are already unique — no union needed
             sums = next(iter(decoded.values()))[1]
-            n_uniq = sums.size
         else:
-            pdocs = np.concatenate([decoded[i][0] for i in decoded])
-            pscores = np.concatenate([decoded[i][1] for i in decoded])
+            pdocs = np.concatenate([decoded[j][0] for j in decoded])
+            pscores = np.concatenate([decoded[j][1] for j in decoded])
             ud, inv = np.unique(pdocs, return_inverse=True)
             sums = np.zeros(ud.size, dtype=np.float64)
             np.add.at(sums, inv, pscores)
-            n_uniq = ud.size
-        if n_uniq >= k:
+        if sums.size >= k:
             theta = float(-np.partition(-sums, k - 1)[k - 1])
+            break
 
+    undecoded = [i for i in range(len(terms_meta)) if i not in decoded]
     results = dict(decoded)
-    if not np.isfinite(theta):
-        # nothing to prune against: decode everything
+    if not undecoded or not np.isfinite(theta):
+        # nothing to prune against (or with): decode everything
         for i in undecoded:
             field, term, boost, rb, *_ = terms_meta[i]
             docs, tfs = _decode_full(reader, field, term, rb)
@@ -255,9 +270,9 @@ def wand_top_k(
 
     # ---- event sweep: piecewise-constant upper bound over doc ranges ----
     xs = np.concatenate(
-        [m[4] for m in terms_meta] + [m[5] + 1 for m in terms_meta]
+        [t[4] for t in terms_meta] + [t[5] + 1 for t in terms_meta]
     )
-    deltas = np.concatenate([m[6] for m in terms_meta] + [-m[6] for m in terms_meta])
+    deltas = np.concatenate([t[6] for t in terms_meta] + [-t[6] for t in terms_meta])
     order = np.argsort(xs, kind="stable")
     xs_s = xs[order]
     bound = np.cumsum(deltas[order])
@@ -265,53 +280,111 @@ def wand_top_k(
     # candidate intervals [xs_s[i], xs_s[i+1]) where keep[i]; merge adjacent
     if not keep.any():
         return _merge_top_k(results, k)
+    cand_lo, cand_hi = _interval_bounds(xs_s, keep)
+
+    for i in undecoded:
+        got = _decode_candidates(reader, ctx, terms_meta[i], cand_lo, cand_hi)
+        if got is not None:
+            results[i] = got
+    return _merge_top_k(results, k)
+
+
+def _interval_bounds(xs_s: np.ndarray, keep: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Merge adjacent kept events into candidate [lo, hi) doc intervals."""
     starts = np.flatnonzero(keep & ~np.concatenate([[False], keep[:-1]]))
     ends = np.flatnonzero(keep & ~np.concatenate([keep[1:], [False]]))
     cand_lo = xs_s[starts]
     cand_hi = np.where(ends + 1 < xs_s.size, xs_s[ends + 1], np.iinfo(np.int64).max)
+    return cand_lo, cand_hi
 
-    for i in undecoded:
-        field, term, boost, rb, firsts, lasts, _ub = terms_meta[i]
-        hit = reader._post_cache.get((field, term, False))
-        if hit is not None:
-            # already decoded by an earlier query: scoring the full cached list
-            # is cheaper than selective decode, and stays exact (docs outside
-            # candidate intervals carry scores <= bound < θ — see module doc)
-            docs, tfs = hit[0], hit[1]
-            full = True
+
+def _decode_candidates(
+    reader, ctx: EvalContext, tm: tuple, cand_lo: np.ndarray, cand_hi: np.ndarray
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Decode one term's blocks that overlap the candidate intervals (None when
+    none do), preferring the reader's full-postings cache and memoizing
+    selective decodes per surviving block-subset."""
+    field, term, boost, rb, firsts, lasts, _ub = tm
+    hit = reader._post_cache.get((field, term, False))
+    if hit is not None:
+        # already decoded by an earlier query: scoring the full cached list
+        # is cheaper than selective decode, and stays exact (docs outside
+        # candidate intervals score below θ / match fewer than m terms)
+        docs, tfs = hit[0], hit[1]
+        full = True
+    else:
+        # block survives iff its [first,last] overlaps a candidate interval
+        pos = np.searchsorted(cand_hi, firsts, side="right")
+        ok = pos < cand_lo.size
+        ok[ok] &= cand_lo[pos[ok]] <= lasts[ok]
+        if not ok.any():
+            return None
+        full = ok.mean() > 0.5
+        if full:
+            # most blocks survive: decode fully and CACHE so repeat queries
+            # in this pinned scorer become cache hits (the skip saves little)
+            docs, tfs = _decode_full(reader, field, term, rb)
         else:
-            # block survives iff its [first,last] overlaps a candidate interval
-            pos = np.searchsorted(cand_hi, firsts, side="right")
-            ok = pos < cand_lo.size
-            ok[ok] &= cand_lo[pos[ok]] <= lasts[ok]
-            if not ok.any():
-                continue
-            full = ok.mean() > 0.5
-            if full:
-                # most blocks survive: decode fully and CACHE so repeat queries
-                # in this pinned scorer become cache hits (the skip saves little)
-                docs, tfs = _decode_full(reader, field, term, rb)
-            else:
-                # selective decode, memoized per block-subset: repeat queries
-                # produce the same surviving mask and skip the decode entirely
-                import hashlib as _hl
+            # selective decode, memoized per block-subset: repeat queries
+            # produce the same surviving mask and skip the decode entirely
+            import hashlib as _hl
 
-                pcache = getattr(reader, "_wand_pruned_cache", None)
-                if pcache is None:
-                    pcache = reader._wand_pruned_cache = {}
-                key = (field, term, _hl.md5(ok.tobytes()).hexdigest()[:16])
-                cached = pcache.get(key)
-                if cached is None:
-                    cached = _sorted2(rb.decode(False, keep=ok))
-                    pcache[key] = cached
-                    if len(pcache) > 64:
-                        pcache.pop(next(iter(pcache)))
-                docs, tfs = cached
+            pcache = getattr(reader, "_wand_pruned_cache", None)
+            if pcache is None:
+                pcache = reader._wand_pruned_cache = {}
+            key = (field, term, _hl.md5(ok.tobytes()).hexdigest()[:16])
+            cached = pcache.get(key)
+            if cached is None:
+                cached = _sorted2(rb.decode(False, keep=ok))
+                pcache[key] = cached
+                if len(pcache) > 64:
+                    pcache.pop(next(iter(pcache)))
+            docs, tfs = cached
+    return (
+        docs,
+        _bm25_exact(reader, ctx, field, term, boost, docs, tfs, full=full),
+    )
+
+
+def _minmatch_top_k(
+    reader, ctx: EvalContext, terms_meta: list, k: int, m: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact m-of-n top-k via small-set candidate generation: decode the
+    n-(m-1) smallest posting lists fully — a doc matching none of them can
+    match at most m-1 terms, so their doc union is a SUPERSET of every
+    qualifying doc — then decode each remaining (large) term only for blocks
+    whose doc range contains a candidate. A qualifying doc is a candidate, so
+    every block holding one survives and its count and score stay complete;
+    non-candidates observe at most m-1 matches and the count>=m merge filter
+    drops them. ``(rare hot)@2`` therefore decodes the hot term only around
+    the rare term's actual doc positions, not its block ranges."""
+    n = len(terms_meta)
+    sizes = [int(t[3].ns.sum()) for t in terms_meta]  # posting count from metadata
+    by_size = sorted(range(n), key=lambda i: sizes[i])
+    small, large = by_size[: n - (m - 1)], by_size[n - (m - 1):]
+    results: dict = {}
+    cand_parts = []
+    for i in small:
+        field, term, boost, rb, *_ = terms_meta[i]
+        docs, tfs = _decode_full(reader, field, term, rb)
         results[i] = (
             docs,
-            _bm25_exact(reader, ctx, field, term, boost, docs, tfs, full=full),
+            _bm25_exact(reader, ctx, field, term, boost, docs, tfs, full=True),
         )
-    return _merge_top_k(results, k)
+        cand_parts.append(docs)
+    cand = (
+        np.unique(np.concatenate(cand_parts))
+        if len(cand_parts) > 1
+        else cand_parts[0]
+    )
+    if cand.size == 0:
+        return EMPTY
+    for i in large:
+        # point intervals [c, c+1) reuse the interval-overlap selective decode
+        got = _decode_candidates(reader, ctx, terms_meta[i], cand, cand + 1)
+        if got is not None:
+            results[i] = got
+    return _merge_top_k(results, k, m)
 
 
 def _sorted2(triple) -> Tuple[np.ndarray, np.ndarray]:
@@ -334,16 +407,22 @@ def _decode_full(reader, field: str, term: str, rb) -> Tuple[np.ndarray, np.ndar
     return docs, tfs
 
 
-def _merge_top_k(results: dict, k: int) -> Tuple[np.ndarray, np.ndarray]:
+def _merge_top_k(results: dict, k: int, m: int = 1) -> Tuple[np.ndarray, np.ndarray]:
     """Union-sum per-term contributions IN QUERY-CLAUSE ORDER (same float
     accumulation order as SegmentEval._union, so equal-score ties break
-    identically) and take the exact top-k."""
+    identically), drop docs matching fewer than m terms, and take the exact
+    top-k."""
     live = [results[i] for i in sorted(results) if results[i][0].size]
-    if not live:
+    if len(live) < m or not live:
         return EMPTY
     docs = np.concatenate([r[0] for r in live])
     scores = np.concatenate([r[1] for r in live])
     ud, inv = np.unique(docs, return_inverse=True)
     sums = np.zeros(ud.size, dtype=np.float64)
     np.add.at(sums, inv, scores)
+    if m > 1:
+        counts = np.zeros(ud.size, dtype=np.int64)
+        np.add.at(counts, inv, 1)
+        qual = counts >= m
+        ud, sums = ud[qual], sums[qual]
     return top_k(ud, sums, k)

@@ -23,6 +23,13 @@ OR_QUERIES = [
     "xylophone42 OR data",
     "the OR a",  # stopword-ish only
     "data OR data2 OR nosuchterm",
+    # m-of-n MinimumMatch shapes take the same WAND path with a coverage track
+    "(data query join)@2",
+    "(the data query join jump deploy)@3",
+    "(data query xylophone42)@2",
+    "(data^2 query^0.5 join)@2",
+    "(data nosuchterm query)@2",
+    "(data query)@5",  # num > clauses: EMPTY on both paths
 ]
 
 
@@ -44,12 +51,12 @@ def test_wand_identical_to_eval(built, qs, k):
     q, reqs, ctx = engine.plan(qs)
     parts_scale = wand_parts(q)
     assert parts_scale is not None, f"{qs!r} should be WAND-eligible"
-    parts, scale = parts_scale
+    parts, scale, m = parts_scale
     scorer = engine._scorers()[0]
     for r in scorer.readers:
         if r.doc_count == 0:
             continue
-        wd, ws = wand_top_k(r, ctx, parts, k)
+        wd, ws = wand_top_k(r, ctx, parts, k, m)
         fresh = SegmentEval(r, ctx, collect_term_requests(q), query=q)
         ed, es = fresh.eval(q)
         ed, es = top_k(ed, es, k)
@@ -89,7 +96,7 @@ def test_wand_actually_skips_decodes(built, monkeypatch):
     terms, dfs = r.term_dict("text")
     hot = str(terms[int(np.argmax(dfs))])
     q, reqs, ctx = engine.plan(f"xylophone42 OR {hot}")
-    parts, scale = wand_parts(q)
+    parts, scale, m = wand_parts(q)
 
     decoded_vals = {"n": 0}
     real = codec.decode_varints
@@ -144,8 +151,46 @@ def test_wand_random_queries_property(built, ray_session):
         q, reqs, ctx = engine.plan(qs)
         parts_scale = wand_parts(q)
         assert parts_scale is not None
-        parts, scale = parts_scale
-        wd, ws = wand_top_k(r, ctx, parts, k)
+        parts, scale, m = parts_scale
+        wd, ws = wand_top_k(r, ctx, parts, k, m)
+        ev = SegmentEval(r, ctx, collect_term_requests(q), query=q)
+        ed, es = top_k(*ev.eval(q), k)
+        assert wd.tolist() == ed.tolist(), qs
+        np.testing.assert_array_equal(ws, es)
+
+    check()
+
+
+def test_wand_minmatch_random_property(built, ray_session):
+    """Randomized m-of-n identity: arbitrary term mixes, boosts, k, and m."""
+    from hypothesis import given, settings, strategies as st
+
+    engine = SearchEngine(built, parallel=False)
+    scorer = engine._scorers()[0]
+    r = max(scorer.readers, key=lambda rr: rr.doc_count)
+    terms, dfs = r.term_dict("text")
+    order = np.argsort(-dfs)
+    pool = [str(terms[i]) for i in order[:: max(1, len(order) // 40)]][:40]
+    pool += ["zzznope", "qqqmissing"]
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        idxs=st.lists(st.integers(0, len(pool) - 1), min_size=2, max_size=6, unique=True),
+        boosts=st.lists(st.sampled_from([1.0, 0.5, 2.0]), min_size=6, max_size=6),
+        k=st.integers(1, 40),
+        mm=st.integers(1, 7),
+    )
+    def check(idxs, boosts, k, mm):
+        clauses = []
+        for j, i in enumerate(idxs):
+            b = boosts[j]
+            clauses.append(pool[i] if b == 1.0 else f"{pool[i]}^{b}")
+        qs = f"({' '.join(clauses)})@{mm}"
+        q, reqs, ctx = engine.plan(qs)
+        parts_scale = wand_parts(q)
+        assert parts_scale is not None
+        parts, scale, m = parts_scale
+        wd, ws = wand_top_k(r, ctx, parts, k, m)
         ev = SegmentEval(r, ctx, collect_term_requests(q), query=q)
         ed, es = top_k(*ev.eval(q), k)
         assert wd.tolist() == ed.tolist(), qs
@@ -156,7 +201,9 @@ def test_wand_random_queries_property(built, ray_session):
 
 def test_wand_parts_shapes():
     assert wand_parts(parse("a OR b")) is not None
-    assert wand_parts(parse("(a OR b)^2")) == ([("text", "a", 1.0), ("text", "b", 1.0)], 2.0)
+    assert wand_parts(parse("(a OR b)^2")) == (
+        [("text", "a", 1.0), ("text", "b", 1.0)], 2.0, 1,
+    )
     assert wand_parts(parse("role:(a OR b)"))[0][0][0] == "role"
     assert wand_parts(parse("a AND b")) is None
     assert wand_parts(parse("a OR \"b c\"")) is None  # phrase clause
@@ -164,3 +211,55 @@ def test_wand_parts_shapes():
     assert wand_parts(parse("a OR a")) is None  # duplicate clause float order
     assert wand_parts(parse("a OR b.c")) is None  # multi-token term
     assert wand_parts(parse("a")) is None  # single term: plain path
+    # MinimumMatch shapes
+    assert wand_parts(parse("(a b c)@2"))[2] == 2
+    assert wand_parts(parse("(a b c)@0"))[2] == 1  # eval treats num<=0 as 1
+    assert wand_parts(parse("((a b c)@2)^1.5")) == (
+        [("text", "a", 1.0), ("text", "b", 1.0), ("text", "c", 1.0)], 1.5, 2,
+    )
+    assert wand_parts(parse('(a "b c" d)@2')) is None  # phrase clause
+    assert wand_parts(parse("(a a b)@2")) is None  # duplicate clauses count twice
+
+
+def test_wand_minmatch_coverage_skips_decodes(built, monkeypatch):
+    """(rare hot)@2: the rare term's docs form the exact candidate superset,
+    so the hot term decodes only the blocks containing those few docs — never
+    its full posting list."""
+    import lucille_ray.search.wand as wand_mod
+    from lucille_ray.index import codec
+
+    engine = SearchEngine(built, parallel=False)
+    scorer = engine._scorers()[0]
+    r = max(scorer.readers, key=lambda rr: rr.doc_count)
+    terms, dfs = r.term_dict("text")
+    hot = str(terms[int(np.argmax(dfs))])
+    q, reqs, ctx = engine.plan(f"(xylophone42 {hot})@2")
+    parts, scale, m = wand_parts(q)
+    assert m == 2
+
+    decoded_vals = {"n": 0}
+    real = codec.decode_varints
+
+    def counting(buf):
+        out = real(buf)
+        decoded_vals["n"] += out.size
+        return out
+
+    for f in ("text", "role", "tool"):
+        r.norms(f)
+    monkeypatch.setattr("lucille_ray.index.codec.decode_varints", counting)
+    r._post_cache.clear()
+    r._raw_cache.clear()
+    getattr(r, "_wand_pruned_cache", {}).clear()
+    wd, ws = wand_top_k(r, ctx, parts, k=3, m=m)
+    wand_decoded = decoded_vals["n"]  # snapshot before the identity check below
+    # identity against the plain evaluator on the same segment
+    ev = SegmentEval(r, ctx, collect_term_requests(q), query=q)
+    ed, es = top_k(*ev.eval(q), 3)
+    assert wd.tolist() == ed.tolist()
+    np.testing.assert_array_equal(ws, es)
+    df_hot = ctx.df.get(("text", hot), 0)
+    assert df_hot > r.doc_count // 4
+    assert wand_decoded < df_hot // 2, (
+        f"decoded {wand_decoded} values; full eval would decode ~{2 * df_hot}"
+    )
