@@ -87,7 +87,8 @@ POSTINGS_WRITE_ARGS = {"max_rows_per_file": 16384, "row_group_size": 16}
 INDEX_META_FILE = "index_meta.json"
 MANIFEST_FILE = "MANIFEST.json"
 #: bump on storage-layout changes; readers refuse older indexes with a clear error
-INDEX_FORMAT_VERSION = 2  # v2: norms stored as reserved-term posting rows
+INDEX_FORMAT_VERSION = 3  # v2: norms as reserved-term posting rows; v3: blocks
+# carry exact per-block min_dl for tight BM25 upper bounds (WAND)
 
 
 # ---------------------------------------------------------------------------
@@ -464,6 +465,9 @@ class _TokenizeEncode(_TokenizePartials):
             tf = run_tok_ends - run_starts
             run_docs = d_s[run_starts]
             run_ranks = r_s[run_starts]
+            # exact per-posting doc length (for per-block min_dl): one
+            # vectorized lookup against the batch's sorted (doc, dl) arrays
+            run_dls = ndl[np.searchsorted(nd, run_docs)]
             run_buckets = run_docs // self.range_width
             newgrp = np.empty(nruns, dtype=bool)
             newgrp[0] = True
@@ -481,7 +485,7 @@ class _TokenizeEncode(_TokenizePartials):
                 out_bucket.append(int(d[0]))
                 out_df.append(int(d.size))
                 out_ttf.append(int(t.sum()))
-                out_blocks.append(encode_postings(d, t, p))
+                out_blocks.append(encode_postings(d, t, p, dls=run_dls[a:b]))
         return pa.table(
             {
                 "field": pa.array(out_field, pa.string()),
@@ -535,6 +539,9 @@ def _encode_group(group: pa.Table) -> pa.Table:
         pos = None
     else:
         doc_ids, tfs, pos = sort_postings(doc_ids, tfs, pos)
+    # no dls here: shipping per-posting doc lengths through the shuffle would
+    # inflate the exchange; term_partitioned blocks keep min_dl=0 and readers
+    # fall back to the windowed norms bound (still admissible, just looser)
     blocks = encode_postings(doc_ids, tfs, pos)
     return pa.table(
         {

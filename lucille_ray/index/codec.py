@@ -10,7 +10,9 @@ blocks of up to :data:`BLOCK_SIZE` documents:
 * ``pos``   — within-document token positions, delta-encoded per document then
   varint; document boundaries are implied by ``tfs`` (tf_i positions per doc)
 * metadata — ``n`` (docs in block), ``max_tf`` (block-max for WAND-style pruning),
-  ``first_doc``/``last_doc`` (range pruning without decode)
+  ``first_doc``/``last_doc`` (range pruning without decode), ``min_dl`` (exact
+  minimum doc length among the block's posting docs, for tight BM25 block
+  upper bounds; 0 = unknown, readers fall back to a windowed norms minimum)
 """
 
 from __future__ import annotations
@@ -26,6 +28,7 @@ BLOCK_STRUCT = pa.struct(
     [
         ("n", pa.int32()),
         ("max_tf", pa.int32()),
+        ("min_dl", pa.int32()),
         ("first_doc", pa.int64()),
         ("last_doc", pa.int64()),
         ("docs", pa.binary()),
@@ -163,12 +166,16 @@ def sort_postings(
 
 
 def encode_postings(
-    doc_ids: np.ndarray, tfs: np.ndarray, positions: Optional[np.ndarray]
+    doc_ids: np.ndarray, tfs: np.ndarray, positions: Optional[np.ndarray],
+    dls: Optional[np.ndarray] = None,
 ) -> List[dict]:
     """doc-sorted postings -> list of block dicts matching :data:`BLOCK_STRUCT`.
 
     ``positions`` is the flat concatenation of per-document position lists; the
-    per-document counts are exactly ``tfs``. All heavy work is one vectorized
+    per-document counts are exactly ``tfs``. ``dls`` (optional, aligned with
+    ``doc_ids``) is each posting doc's field length; when given, every block
+    stores the exact min over ITS OWN docs — strictly tighter than any
+    range-window bound a reader could derive. All heavy work is one vectorized
     varint pass per column over the WHOLE list; blocks are byte-slices of it
     (no per-block numpy calls — they dominated profile at small block counts).
     """
@@ -178,6 +185,10 @@ def encode_postings(
     block_starts = np.arange(0, n, BLOCK_SIZE, dtype=np.int64)
     nblocks = block_starts.size
     block_ends = np.minimum(block_starts + BLOCK_SIZE, n)
+    if dls is not None:
+        min_dl = np.minimum.reduceat(np.asarray(dls, dtype=np.int64), block_starts)
+    else:
+        min_dl = np.zeros(nblocks, dtype=np.int64)
 
     doc_deltas = delta_encode(doc_ids, block_starts)
     doc_bytes, doc_len = _encode_varints_np(doc_deltas)
@@ -210,6 +221,7 @@ def encode_postings(
         block = {
             "n": b1 - b0,
             "max_tf": int(max_tf[bi]),
+            "min_dl": int(min_dl[bi]),
             "first_doc": int(doc_ids[b0]),
             "last_doc": int(doc_ids[b1 - 1]),
             "docs": doc_mem[doc_boff[b0]: doc_boff[b1]],
@@ -248,7 +260,9 @@ class RawBlocks:
     payload decode slices the shared byte buffers directly (a single slice for
     a full decode; per-run slices for a selective one)."""
 
-    __slots__ = ("count", "ns", "max_tf", "firsts", "lasts", "_docs", "_tfs", "_pos")
+    __slots__ = (
+        "count", "ns", "max_tf", "min_dl", "firsts", "lasts", "_docs", "_tfs", "_pos",
+    )
 
     def __init__(self, struct_arr: pa.Array):
         if isinstance(struct_arr, pa.ChunkedArray):
@@ -258,6 +272,12 @@ class RawBlocks:
         self.max_tf = struct_arr.field("max_tf").to_numpy(zero_copy_only=False).astype(
             np.int64
         )
+        if struct_arr.type.get_field_index("min_dl") >= 0:
+            self.min_dl = (
+                struct_arr.field("min_dl").to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        else:  # pre-v3 segment: unknown — readers fall back to windowed norms
+            self.min_dl = np.zeros(self.count, dtype=np.int64)
         self.firsts = struct_arr.field("first_doc").to_numpy(zero_copy_only=False).astype(
             np.int64
         )

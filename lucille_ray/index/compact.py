@@ -32,9 +32,16 @@ from .codec import POSTINGS_SCHEMA, decode_postings, encode_postings, sort_posti
 ROW_BLOCK_CAP = 256
 
 
-def _merge_pieces(group: pa.Table) -> pa.Table:
+def _merge_pieces(
+    group: pa.Table, *, norms_ref=None, doc_base: int = 0
+) -> pa.Table:
     """All piece rows of one (field, term) -> doc-ordered consolidated rows of
-    at most ROW_BLOCK_CAP blocks each."""
+    at most ROW_BLOCK_CAP blocks each.
+
+    ``norms_ref`` (an ObjectRef to {field: per-doc dl array}) lets re-encoded
+    blocks carry an exact per-block ``min_dl`` even though the merged block
+    boundaries differ from the build-time pieces'; it is fetched zero-copy
+    from the object store once per worker."""
     _limit_worker_threads()
     field = group["field"][0].as_py()
     term = group["term"][0].as_py()
@@ -44,7 +51,14 @@ def _merge_pieces(group: pa.Table) -> pa.Table:
         blocks.extend(row_blocks)
     docs, tfs, pos = decode_postings(blocks, want_positions=want_pos)
     docs, tfs, pos = sort_postings(docs, tfs, pos)
-    merged = encode_postings(docs, tfs, pos)
+    dls = None
+    if norms_ref is not None and term != NORMS_TERM:
+        import ray
+
+        arr = ray.get(norms_ref).get(field)
+        if arr is not None and docs.size:
+            dls = arr[docs - doc_base]
+    merged = encode_postings(docs, tfs, pos, dls=dls)
     out_bucket, out_df, out_ttf, out_blocks = [], [], [], []
     from .codec import BLOCK_SIZE
 
@@ -110,6 +124,22 @@ def compact_index(index_dir: str, *, resume: bool = True) -> None:
         shutil.rmtree(tmp_path, ignore_errors=True)
         from .build import POSTINGS_WRITE_ARGS
 
+        # broadcast the segment's norms once (ray.put, zero-copy reads in every
+        # merge task) so re-cut blocks keep an exact min_dl for WAND bounds
+        import functools
+
+        import ray
+
+        from .segment import SegmentReader
+
+        reader = SegmentReader(seg_dir)
+        norms_ref = ray.put(
+            {f: reader.norms(f) for f in manifest.get("fields", [])}
+        )
+        merge_fn = functools.partial(
+            _merge_pieces, norms_ref=norms_ref, doc_base=reader.doc_base
+        )
+
         ds = ray.data.read_parquet(postings_path)
         # the final sort is what makes term lookups cheap: hash-groupby output
         # scatters terms across row groups, so every row group's term min/max
@@ -120,7 +150,7 @@ def compact_index(index_dir: str, *, resume: bool = True) -> None:
         # write time (no extra pass): a term lookup opens every file's footer,
         # so hundreds of tiny files put a ~0.5 s floor under COLD lookups
         ds.groupby(["field", "term"]).map_groups(
-            _merge_pieces, batch_format="pyarrow"
+            merge_fn, batch_format="pyarrow"
         ).sort(["field", "term", "bucket"]).write_parquet(
             tmp_path, min_rows_per_file=2048, **POSTINGS_WRITE_ARGS
         )

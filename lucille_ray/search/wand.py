@@ -145,7 +145,16 @@ def _term_block_meta(reader, field: str, term: str, rb) -> tuple:
         cache = reader._wand_meta_cache = {}
     m = cache.get((field, term))
     if m is None:
-        dl_min = _block_dl_min(reader, field, rb.firsts, rb.lasts)
+        stored = rb.min_dl
+        if stored.size and (stored > 0).all():
+            # v3 blocks carry the exact min doc length over their own posting
+            # docs — tighter than any doc-range window bound, and free to read
+            dl_min = stored.astype(np.float64)
+        else:
+            dl_min = _block_dl_min(reader, field, rb.firsts, rb.lasts)
+            known = stored > 0
+            if known.any():
+                dl_min = np.maximum(dl_min, np.where(known, stored, 0).astype(np.float64))
         m = (rb.firsts, rb.lasts, rb.max_tf.astype(np.float64), dl_min)
         cache[(field, term)] = m
         if len(cache) > 512:

@@ -76,3 +76,19 @@ def test_postings_round_trip(n):
     assert (p2 == pos).all()
     d3, t3, p3 = decode_postings(blocks, want_positions=False)
     assert (d3 == doc_ids).all() and p3 is None
+
+
+@pytest.mark.parametrize("n", [1, 127, 128, 129, 1000])
+def test_postings_min_dl_exact_per_block(n):
+    """min_dl stored per block is the exact min over that block's own docs
+    (dls aligned with doc_ids); without dls it is 0 = unknown."""
+    rng = np.random.default_rng(n + 7)
+    doc_ids = np.unique(rng.integers(0, n * 20, n)).astype(np.int64)
+    tfs = rng.integers(1, 9, doc_ids.size)
+    dls = rng.integers(1, 500, doc_ids.size).astype(np.int64)
+    blocks = encode_postings(doc_ids, tfs, None, dls=dls)
+    at = 0
+    for b in blocks:
+        assert b["min_dl"] == int(dls[at: at + b["n"]].min())
+        at += b["n"]
+    assert all(b["min_dl"] == 0 for b in encode_postings(doc_ids, tfs, None))

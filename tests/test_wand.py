@@ -199,6 +199,36 @@ def test_wand_minmatch_random_property(built, ray_session):
     check()
 
 
+def test_min_dl_exact_after_build_and_compaction(built, ray_session):
+    """Every block (freshly built AND re-cut by compaction) stores the exact
+    min doc length over its own posting docs — the tight WAND bound input."""
+    import shutil
+
+    from lucille_ray.index.compact import compact_index
+
+    for compacted in (False, True):
+        idx = built
+        if compacted:
+            idx = built + "_compacted"
+            if not os.path.isdir(idx):
+                shutil.copytree(built, idx)
+            compact_index(idx)
+        engine = SearchEngine(idx, parallel=False)
+        r = max(engine._scorers()[0].readers, key=lambda rr: rr.doc_count)
+        norms = r.norms("text")
+        terms, dfs = r.term_dict("text")
+        hot = str(terms[int(np.argmax(dfs))])
+        for term in (hot, "xylophone42"):
+            for rb in [r.raw_blocks_many("text", [term])[term]]:
+                docs, tfs, _ = rb.decode(False)
+                at = 0
+                for bi in range(len(rb)):
+                    n = int(rb.ns[bi])
+                    expect = int(norms[docs[at: at + n] - r.doc_base].min())
+                    assert int(rb.min_dl[bi]) == expect, (compacted, term, bi)
+                    at += n
+
+
 def test_wand_parts_shapes():
     assert wand_parts(parse("a OR b")) is not None
     assert wand_parts(parse("(a OR b)^2")) == (
