@@ -32,53 +32,131 @@ from .codec import POSTINGS_SCHEMA, decode_postings, encode_postings, sort_posti
 ROW_BLOCK_CAP = 256
 
 
-def _merge_pieces(
-    group: pa.Table, *, norms_ref=None, doc_base: int = 0
+def _reencode(
+    field: str, frag: list, want_pos: bool, norms, doc_base: int
+) -> list:
+    """Decode a group of piece blocks, doc-sort, and re-encode as full blocks
+    (with exact min_dl when norms are at hand)."""
+    docs, tfs, pos = decode_postings(frag, want_positions=want_pos)
+    docs, tfs, pos = sort_postings(docs, tfs, pos)
+    dls = None
+    if norms is not None and want_pos:
+        arr = norms.get(field)
+        if arr is not None and docs.size:
+            dls = arr[docs - doc_base]
+    return encode_postings(docs, tfs, pos, dls=dls)
+
+
+def _merge_run(
+    field: str, term: str, blocks: list, norms, doc_base: int, out: dict,
+    run_total_tf: int,
+) -> None:
+    """Merge one (field, term) run of piece blocks into consolidated rows of at
+    most ROW_BLOCK_CAP blocks each, appended to the ``out`` column lists.
+
+    Blocks are self-contained (each starts with an absolute doc id), so almost
+    every block is copied VERBATIM without touching its payload bytes — an
+    LSM-style block-preserving merge. Only runs of >=2 ADJACENT undersized
+    piece-tail blocks decode, merging into full blocks so hot terms don't
+    accumulate one splinter per piece. Blocks whose doc RANGES overlap (the
+    few batches Ray assembled from tails of different doc-sorted input files)
+    are kept as-is: every reader path either doc-sorts on decode or checks
+    block ranges elementwise, exactly as it already must for the uncompacted
+    piece layout, and re-packing them cost more one-time decode volume than
+    their ~0.5% share ever costs queries.
+
+    ``run_total_tf`` (from the piece rows' metadata) is recorded on the run's
+    first output row: per-row total_tf is consumed nowhere, and this keeps the
+    per-(field, term) aggregate exact without decoding any tf stream."""
+    from .codec import BLOCK_SIZE
+
+    want_pos = term != NORMS_TERM
+    nb = len(blocks)
+    if nb == 0:
+        return
+    firsts = np.fromiter((b["first_doc"] for b in blocks), np.int64, nb)
+    if nb > 1 and (np.diff(firsts) < 0).any():
+        order = np.argsort(firsts, kind="stable")
+        blocks = [blocks[i] for i in order]
+    ns = np.fromiter((b["n"] for b in blocks), np.int64, nb)
+
+    merged: list = []
+    frag_buf: list = []  # pending adjacent undersized blocks
+
+    def flush_frags():
+        if len(frag_buf) >= 2:
+            merged.extend(_reencode(field, frag_buf, want_pos, norms, doc_base))
+        else:
+            merged.extend(frag_buf)
+        frag_buf.clear()
+
+    for i in range(nb):
+        if ns[i] < BLOCK_SIZE:
+            frag_buf.append(blocks[i])
+        else:
+            flush_frags()
+            merged.append(blocks[i])
+    flush_frags()
+
+    first_row = True
+    for c0 in range(0, max(len(merged), 1), ROW_BLOCK_CAP):
+        chunk = merged[c0: c0 + ROW_BLOCK_CAP]
+        out["field"].append(field)
+        out["term"].append(term)
+        out["bucket"].append(int(chunk[0]["first_doc"]) if chunk else 0)
+        out["df"].append(int(sum(b["n"] for b in chunk)))
+        out["total_tf"].append(int(run_total_tf) if first_row else 0)
+        out["blocks"].append(chunk)
+        first_row = False
+
+
+def _merge_sorted_batch(
+    batch: pa.Table, *, norms_ref=None, doc_base: int = 0
 ) -> pa.Table:
-    """All piece rows of one (field, term) -> doc-ordered consolidated rows of
-    at most ROW_BLOCK_CAP blocks each.
+    """One batch of the (field, term, bucket)-sorted piece stream -> merged
+    rows, one (or a few, for hot terms past ROW_BLOCK_CAP) per (field, term)
+    run present in the batch.
+
+    Runs that straddle a batch boundary simply merge into one row per side —
+    the reader concatenates a term's rows in bucket order (doc-sorting on the
+    rare interleave), so partial merges are exactly as correct as full ones
+    and compaction needs only ONE all-to-all (the sort) instead of the
+    groupby-shuffle + re-sort pair.
 
     ``norms_ref`` (an ObjectRef to {field: per-doc dl array}) lets re-encoded
     blocks carry an exact per-block ``min_dl`` even though the merged block
     boundaries differ from the build-time pieces'; it is fetched zero-copy
-    from the object store once per worker."""
+    from the object store once per task."""
     _limit_worker_threads()
-    field = group["field"][0].as_py()
-    term = group["term"][0].as_py()
-    want_pos = term != NORMS_TERM
-    blocks = []
-    for row_blocks in group["blocks"].to_pylist():
-        blocks.extend(row_blocks)
-    docs, tfs, pos = decode_postings(blocks, want_positions=want_pos)
-    docs, tfs, pos = sort_postings(docs, tfs, pos)
-    dls = None
-    if norms_ref is not None and term != NORMS_TERM:
+    if batch.num_rows == 0:
+        return batch
+    norms = None
+    if norms_ref is not None:
         import ray
 
-        arr = ray.get(norms_ref).get(field)
-        if arr is not None and docs.size:
-            dls = arr[docs - doc_base]
-    merged = encode_postings(docs, tfs, pos, dls=dls)
-    out_bucket, out_df, out_ttf, out_blocks = [], [], [], []
-    from .codec import BLOCK_SIZE
-
-    for c0 in range(0, max(len(merged), 1), ROW_BLOCK_CAP):
-        chunk = merged[c0: c0 + ROW_BLOCK_CAP]
-        d0 = c0 * BLOCK_SIZE
-        d1 = min(d0 + ROW_BLOCK_CAP * BLOCK_SIZE, docs.size)
-        out_bucket.append(int(docs[d0]) if docs.size else 0)
-        out_df.append(int(d1 - d0))
-        out_ttf.append(int(tfs[d0:d1].sum()) if docs.size else 0)
-        out_blocks.append(chunk)
+        norms = ray.get(norms_ref)
+    fields = batch["field"].to_pylist()
+    terms = batch["term"].to_pylist()
+    blocks_col = batch["blocks"].to_pylist()
+    ttfs = batch["total_tf"].to_pylist()
+    out: dict = {k: [] for k in ("field", "term", "bucket", "df", "total_tf", "blocks")}
+    run_f, run_t, run_blocks, run_ttf = fields[0], terms[0], [], 0
+    for f, t, b, tt in zip(fields, terms, blocks_col, ttfs):
+        if f != run_f or t != run_t:
+            _merge_run(run_f, run_t, run_blocks, norms, doc_base, out, run_ttf)
+            run_f, run_t, run_blocks, run_ttf = f, t, [], 0
+        run_blocks.extend(b)
+        run_ttf += tt
+    _merge_run(run_f, run_t, run_blocks, norms, doc_base, out, run_ttf)
     return pa.table(
         {
-            "field": pa.array([field] * len(out_blocks), pa.string()),
-            "term": pa.array([term] * len(out_blocks), pa.string()),
-            "bucket": pa.array(out_bucket, pa.int64()),
-            "df": pa.array(out_df, pa.int64()),
-            "total_tf": pa.array(out_ttf, pa.int64()),
+            "field": pa.array(out["field"], pa.string()),
+            "term": pa.array(out["term"], pa.string()),
+            "bucket": pa.array(out["bucket"], pa.int64()),
+            "df": pa.array(out["df"], pa.int64()),
+            "total_tf": pa.array(out["total_tf"], pa.int64()),
             "blocks": pa.array(
-                out_blocks, pa.list_(POSTINGS_SCHEMA.field("blocks").type.value_type)
+                out["blocks"], pa.list_(POSTINGS_SCHEMA.field("blocks").type.value_type)
             ),
         }
     )
@@ -137,21 +215,25 @@ def compact_index(index_dir: str, *, resume: bool = True) -> None:
             {f: reader.norms(f) for f in manifest.get("fields", [])}
         )
         merge_fn = functools.partial(
-            _merge_pieces, norms_ref=norms_ref, doc_base=reader.doc_base
+            _merge_sorted_batch, norms_ref=norms_ref, doc_base=reader.doc_base
         )
 
         ds = ray.data.read_parquet(postings_path)
-        # the final sort is what makes term lookups cheap: hash-groupby output
-        # scatters terms across row groups, so every row group's term min/max
-        # spans the whole vocabulary and predicate pushdown can never prune —
-        # a cold hot-term lookup then reads EVERY posting blob in the segment.
-        # Term-clustered row groups turn that into a few-row-group read.
-        # min_rows_per_file coalesces the sort's many small output blocks at
-        # write time (no extra pass): a term lookup opens every file's footer,
-        # so hundreds of tiny files put a ~0.5 s floor under COLD lookups
-        ds.groupby(["field", "term"]).map_groups(
-            merge_fn, batch_format="pyarrow"
-        ).sort(["field", "term", "bucket"]).write_parquet(
+        # ONE all-to-all: sort by (field, term, bucket), then merge term runs
+        # per sorted batch. The sort is what makes term lookups cheap — it
+        # clusters each term into a handful of row groups so parquet min/max
+        # stats prune the rest (hash-partitioned output would spread every row
+        # group across the whole vocabulary and nothing could prune). A
+        # groupby.map_groups would give per-term completeness but costs a
+        # second full exchange (Ray's map_groups itself sorts), and the reader
+        # doesn't need completeness — it already concatenates a term's rows in
+        # bucket order. min_rows_per_file coalesces the sort's many small
+        # output blocks at write time (no extra pass): a term lookup opens
+        # every file's footer, so hundreds of tiny files put a ~0.5 s floor
+        # under COLD lookups.
+        ds.sort(["field", "term", "bucket"]).map_batches(
+            merge_fn, batch_size=2048, batch_format="pyarrow"
+        ).write_parquet(
             tmp_path, min_rows_per_file=2048, **POSTINGS_WRITE_ARGS
         )
         # atomic publish: old dir moves aside, tmp takes its place
