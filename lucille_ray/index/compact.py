@@ -179,12 +179,106 @@ def _recover_interrupted_swap(postings_path: str) -> None:
         os.rename(bak, postings_path)
 
 
-def compact_index(index_dir: str, *, resume: bool = True) -> None:
-    """Compact every segment's postings in place (atomic swap per segment;
-    interrupted swaps from a previous crash are repaired on entry)."""
+def _retry_fs_import_race(fn):
+    """Ray's path resolution probes ``fsspec.implementations.http`` on EVERY
+    read/write; with aiohttp absent the import always fails, is evicted from
+    ``sys.modules``, and is re-attempted next call — so two threads resolving
+    paths at once can race the half-initialized module and surface a transient
+    ``ImportError`` (Ray only catches ``ModuleNotFoundError``). Resolution runs
+    before any execution or filesystem mutation, so retrying is safe."""
+    import time
+
+    for attempt in range(8):
+        try:
+            return fn()
+        except ImportError as e:
+            if "fsspec" not in str(e) and "HTTPFileSystem" not in str(e):
+                raise
+            time.sleep(0.05 * (attempt + 1))
+    return fn()
+
+
+def _compact_segment(seg_dir: str, manifest: dict, manifest_path: str) -> None:
+    """Sort-merge one segment's postings and atomically publish the result."""
+    import functools
+
+    import ray
     import ray.data
 
+    from .build import POSTINGS_WRITE_ARGS
+    from .segment import SegmentReader
+
+    postings_path = os.path.join(seg_dir, "postings.parquet")
+    tmp_path = postings_path + ".compact"
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+    # broadcast the segment's norms once (ray.put, zero-copy reads in every
+    # merge task) so re-cut blocks keep an exact min_dl for WAND bounds
+    reader = SegmentReader(seg_dir)
+    norms_ref = ray.put(
+        {f: reader.norms(f) for f in manifest.get("fields", [])}
+    )
+    merge_fn = functools.partial(
+        _merge_sorted_batch, norms_ref=norms_ref, doc_base=reader.doc_base
+    )
+
+    ds = _retry_fs_import_race(lambda: ray.data.read_parquet(postings_path))
+    # ONE all-to-all: sort by (field, term, bucket), then merge term runs
+    # per sorted batch. The sort is what makes term lookups cheap — it
+    # clusters each term into a handful of row groups so parquet min/max
+    # stats prune the rest (hash-partitioned output would spread every row
+    # group across the whole vocabulary and nothing could prune). A
+    # groupby.map_groups would give per-term completeness but costs a
+    # second full exchange (Ray's map_groups itself sorts), and the reader
+    # doesn't need completeness — it already concatenates a term's rows in
+    # bucket order. min_rows_per_file coalesces the sort's many small
+    # output blocks at write time (no extra pass): a term lookup opens
+    # every file's footer, so hundreds of tiny files put a ~0.5 s floor
+    # under COLD lookups.
+    merged = ds.sort(["field", "term", "bucket"]).map_batches(
+        merge_fn, batch_size=2048, batch_format="pyarrow"
+    )
+    def _write():
+        shutil.rmtree(tmp_path, ignore_errors=True)  # clean slate per attempt
+        merged.write_parquet(
+            tmp_path, min_rows_per_file=2048, **POSTINGS_WRITE_ARGS
+        )
+
+    _retry_fs_import_race(_write)
+    # atomic publish: old dir moves aside, tmp takes its place
+    bak = postings_path + ".bak"
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(postings_path, bak)
+    os.rename(tmp_path, postings_path)
+    shutil.rmtree(bak)
+    manifest["compacted"] = True
+    manifest["posting_rows"] = sum(
+        pq.read_metadata(os.path.join(postings_path, f)).num_rows
+        for f in os.listdir(postings_path)
+        if f.endswith(".parquet")
+    )
+    tmp_mf = manifest_path + ".tmp"
+    with open(tmp_mf, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp_mf, manifest_path)
+
+
+def compact_index(index_dir: str, *, resume: bool = True) -> None:
+    """Compact every segment's postings in place (atomic swap per segment;
+    interrupted swaps from a previous crash are repaired on entry).
+
+    Segments compact CONCURRENTLY (a few driver threads, each running one
+    independent sort→merge→write Dataset pipeline): one segment's exchange
+    rarely saturates the cluster on its own — its sort has a reduce fan-in
+    barrier and a bounded task count — so overlapping segments keeps workers
+    fed, and at small scale it hides the ~seconds of fixed per-pipeline
+    overhead instead of paying it once per segment. Crash safety is unchanged:
+    each segment still publishes via its own atomic swap, so a failure leaves
+    every segment either compacted or untouched (per-segment resume)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     seg_root = os.path.join(index_dir, "segments")
+    pending: list = []
     for name in sorted(os.listdir(seg_root)):
         seg_dir = os.path.join(seg_root, name)
         manifest_path = os.path.join(seg_dir, MANIFEST_FILE)
@@ -198,57 +292,13 @@ def compact_index(index_dir: str, *, resume: bool = True) -> None:
         _recover_interrupted_swap(postings_path)
         if resume and manifest.get("compacted") and os.path.isdir(postings_path):
             continue
-        tmp_path = postings_path + ".compact"
-        shutil.rmtree(tmp_path, ignore_errors=True)
-        from .build import POSTINGS_WRITE_ARGS
-
-        # broadcast the segment's norms once (ray.put, zero-copy reads in every
-        # merge task) so re-cut blocks keep an exact min_dl for WAND bounds
-        import functools
-
-        import ray
-
-        from .segment import SegmentReader
-
-        reader = SegmentReader(seg_dir)
-        norms_ref = ray.put(
-            {f: reader.norms(f) for f in manifest.get("fields", [])}
-        )
-        merge_fn = functools.partial(
-            _merge_sorted_batch, norms_ref=norms_ref, doc_base=reader.doc_base
-        )
-
-        ds = ray.data.read_parquet(postings_path)
-        # ONE all-to-all: sort by (field, term, bucket), then merge term runs
-        # per sorted batch. The sort is what makes term lookups cheap — it
-        # clusters each term into a handful of row groups so parquet min/max
-        # stats prune the rest (hash-partitioned output would spread every row
-        # group across the whole vocabulary and nothing could prune). A
-        # groupby.map_groups would give per-term completeness but costs a
-        # second full exchange (Ray's map_groups itself sorts), and the reader
-        # doesn't need completeness — it already concatenates a term's rows in
-        # bucket order. min_rows_per_file coalesces the sort's many small
-        # output blocks at write time (no extra pass): a term lookup opens
-        # every file's footer, so hundreds of tiny files put a ~0.5 s floor
-        # under COLD lookups.
-        ds.sort(["field", "term", "bucket"]).map_batches(
-            merge_fn, batch_size=2048, batch_format="pyarrow"
-        ).write_parquet(
-            tmp_path, min_rows_per_file=2048, **POSTINGS_WRITE_ARGS
-        )
-        # atomic publish: old dir moves aside, tmp takes its place
-        bak = postings_path + ".bak"
-        shutil.rmtree(bak, ignore_errors=True)
-        os.rename(postings_path, bak)
-        os.rename(tmp_path, postings_path)
-        shutil.rmtree(bak)
-        manifest["compacted"] = True
-        manifest["posting_rows"] = sum(
-            pq.read_metadata(os.path.join(postings_path, f)).num_rows
-            for f in os.listdir(postings_path)
-            if f.endswith(".parquet")
-        )
-        tmp_mf = manifest_path + ".tmp"
-        with open(tmp_mf, "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(tmp_mf, manifest_path)
+        pending.append((seg_dir, manifest, manifest_path))
+    if not pending:
+        return
+    if len(pending) == 1:
+        _compact_segment(*pending[0])
+        return
+    with ThreadPoolExecutor(max_workers=min(4, len(pending))) as pool:
+        futs = [pool.submit(_compact_segment, *args) for args in pending]
+        for f in futs:
+            f.result()
