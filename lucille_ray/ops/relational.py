@@ -8,14 +8,37 @@ Money math is integer-exact (cents / basis points), so partial sums are
 ORDER-FREE and the DuckDB oracle matches bit-for-bit: TPC-H prices/discounts/
 taxes are 2-decimal, so ``extprice*(1-disc)`` in units of 1e-4 and
 ``extprice*(1-disc)*(1+tax)`` in units of 1e-6 are exact int64 products.
-(At 10^12-row scale the 1e-6-unit sums would need a hugeint/decimal128
-accumulator; int64 holds to ~10^9 rows per group.)
+
+Scale note (hugeint accumulation): a per-batch partial sum fits int64 easily
+(<= batch_rows * ~1e11 per row), but the CROSS-partial sum would overflow
+int64 past ~1e9 rows per group (1e-6-unit charges reach ~1e20 at 1e12 rows).
+Each partial is therefore split into (hi, lo) int64 limbs with
+``lo = p % _LIMB``, ``hi = p // _LIMB`` (``_LIMB = 2**30``); Ray sums the
+limbs independently — exact while ``n_partials * _LIMB < 2**63``, i.e. up to
+~8.6e9 partial rows per group (1e12 input rows / 100k-row batches = 1e7
+partials: three orders of magnitude of headroom) — and the tiny finish step
+recombines them with arbitrary-precision Python ints, mirroring DuckDB's
+HUGEINT sum bit-for-bit.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+_LIMB = 1 << 30
+
+
+def _split_limbs(v: np.ndarray) -> tuple[pa.Array, pa.Array]:
+    """Split non-negative int64 partial sums into (hi, lo) limbs."""
+    return pa.array(v // _LIMB), pa.array(v % _LIMB)
+
+
+def _combine_limbs(t: pa.Table, name: str) -> list[int]:
+    """Exactly recombine Ray-summed limb columns into Python ints."""
+    hi = t[f"sum({name}_hi)"].to_pylist()
+    lo = t[f"sum({name}_lo)"].to_pylist()
+    return [int(h) * _LIMB + int(l) for h, l in zip(hi, lo)]
 
 
 def pricing_summary(ds):
@@ -55,31 +78,46 @@ def pricing_summary(ds):
                 pl.col("q").sum(), pl.col("bp").sum(), pl.col("dp").sum(),
                 pl.col("ch").sum(), pl.col("n").sum(),
             )
+            .to_arrow()
         )
-        return g.to_arrow()
+        cols = {
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "q": g["q"],
+            "n": g["n"],
+        }
+        for name in ("bp", "dp", "ch"):
+            v = g[name].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols[f"{name}_hi"], cols[f"{name}_lo"] = _split_limbs(v)
+        return pa.table(cols)
 
     from ray.data.aggregate import Sum
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(Sum("q"), Sum("bp"), Sum("dp"), Sum("ch"), Sum("n"))
+        .aggregate(
+            Sum("q"), Sum("n"),
+            Sum("bp_hi"), Sum("bp_lo"),
+            Sum("dp_hi"), Sum("dp_lo"),
+            Sum("ch_hi"), Sum("ch_lo"),
+        )
     )
 
     def finish(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        bp = t["sum(bp)"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dp = t["sum(dp)"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ch = t["sum(ch)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bp = _combine_limbs(t, "bp")
+        dp = _combine_limbs(t, "dp")
+        ch = _combine_limbs(t, "ch")
         return pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
                 "sum_qty": pc.cast(t["sum(q)"], pa.int64()),
-                "sum_base_price": pa.array(bp / 100.0),
-                "sum_disc_price": pa.array(dp / 10000.0),
-                "sum_charge": pa.array(ch / 1000000.0),
+                "sum_base_price": pa.array([float(v) / 100.0 for v in bp]),
+                "sum_disc_price": pa.array([float(v) / 10000.0 for v in dp]),
+                "sum_charge": pa.array([float(v) / 1000000.0 for v in ch]),
                 "count_order": pc.cast(t["sum(n)"], pa.int64()),
             }
         )

@@ -292,6 +292,30 @@ def test_pricing_summary_matches_pandas(ray_session):
         assert abs(row["sum_disc_price"] - disc[key]) < 1e-4
 
 
+def test_pricing_limb_accumulation_exact_past_int64():
+    """The (hi, lo) limb decomposition stays exact where a plain int64 sum
+    of partials would overflow (the 10^12-row / hugeint scale case)."""
+    import numpy as np
+
+    from lucille_ray.ops.relational import _LIMB, _combine_limbs, _split_limbs
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    # Partials near the top of the int64-safe per-batch range; their true
+    # total (~2e20) overflows int64 by ~20x.
+    partials = rng.integers(low=int(8e16), high=int(1e17), size=2000, dtype=np.int64)
+    true_total = int(sum(int(p) for p in partials))
+    assert true_total > 2**63  # the naive sum would overflow
+
+    hi, lo = _split_limbs(partials)
+    # Mimic Ray's cross-partial Sum: int64 sums over each limb column.
+    hi_sum = int(np.sum(hi.to_numpy(), dtype=np.int64))
+    lo_sum = int(np.sum(lo.to_numpy(), dtype=np.int64))
+    t = pa.table({"sum(x_hi)": [hi_sum], "sum(x_lo)": [lo_sum]})
+    assert _combine_limbs(t, "x") == [true_total]
+    assert hi_sum * _LIMB + lo_sum == true_total
+
+
 def test_image_feature_stage(ray_session):
     ds = _docs_ds(["x"] * 10).select_columns(["doc_id"])
     feats = image_features(attach_fake_images(ds, side=8), batch_size=4).to_pandas()
