@@ -410,7 +410,8 @@ class _TokenizeEncode(_TokenizePartials):
     interleave (rare). Hot terms are spread across every batch by construction,
     so there is no skewed merge task and no all-to-all exchange at all; the only
     cost is one posting row per (term, batch) instead of per (term, bucket).
-    A background compaction pass can later merge small pieces (future work)."""
+    ``_piece_merge_batch`` (in-build, window-local) and ``compact_index``
+    (post-build, global sort-merge) consolidate the pieces."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         _limit_worker_threads()
@@ -516,6 +517,68 @@ class _TokenizeEncode(_TokenizePartials):
         )
 
 
+class _SparseDls:
+    """Doc-length lookup over a sparse (sorted docs, dls) pair.
+
+    Quacks like the dense per-segment norms array compaction hands to
+    ``_reencode`` (``arr[doc_ids]``): docs absent from the window map to dl=0,
+    which makes the re-encoded block's ``min_dl`` 0 — readers then fall back to
+    the windowed norms bound (looser but still admissible for WAND)."""
+
+    __slots__ = ("docs", "dls")
+
+    def __init__(self, docs: np.ndarray, dls: np.ndarray):
+        self.docs, self.dls = docs, dls
+
+    def __getitem__(self, doc_arr: np.ndarray) -> np.ndarray:
+        if self.docs.size == 0:
+            return np.zeros(len(doc_arr), np.int64)
+        idx = np.clip(np.searchsorted(self.docs, doc_arr), 0, self.docs.size - 1)
+        return np.where(self.docs[idx] == doc_arr, self.dls[idx], 0)
+
+
+def _window_norms(batch: pa.Table) -> dict:
+    """field -> :class:`_SparseDls` decoded from the window's NORMS_TERM piece
+    rows. Each tokenize piece carries a norms row covering exactly its docs, so
+    a window of whole pieces resolves every doc its term rows reference; docs
+    orphaned by a piece split at a window boundary just degrade to min_dl=0."""
+    from .codec import decode_postings
+
+    out: dict = {}
+    sub = batch.filter(pa.compute.equal(batch["term"], NORMS_TERM))
+    for f in set(sub["field"].to_pylist()):
+        rows = sub.filter(pa.compute.equal(sub["field"], f))
+        blocks = [b for row in rows["blocks"].to_pylist() for b in row]
+        docs, dls, _ = decode_postings(blocks, want_positions=False)
+        docs, dls, _ = sort_postings(docs, dls, None)
+        out[f] = _SparseDls(docs, dls)
+    return out
+
+
+def _piece_merge_batch(batch: pa.Table) -> pa.Table:
+    """In-build piece compaction (shuffle-free): locally sort a window of
+    tokenize-encode piece rows by (field, term, bucket) and merge each term's
+    adjacent undersized fragments with the same LSM-style block-preserving
+    merge full compaction uses (``compact._merge_sorted_batch``).
+
+    Bounds pieces-per-term by ``ceil(segment_rows / window_rows)`` instead of
+    ``ceil(segment_docs / batch_docs)`` — at a 2.5M-doc segment with 4k-doc
+    tokenize batches that is ~600 piece rows (each trailing an undersized
+    fragment block) collapsing to a handful — while keeping the build's
+    zero-all-to-all property: the merge only ever sees rows already on this
+    worker. Output rows stay (field, term)-clustered, so parquet row-group
+    min/max stats prune term lookups even before full compaction."""
+    _limit_worker_threads()
+    if batch.num_rows <= 1:
+        return batch
+    from .compact import _merge_sorted_batch
+
+    batch = batch.sort_by(
+        [("field", "ascending"), ("term", "ascending"), ("bucket", "ascending")]
+    )
+    return _merge_sorted_batch(batch, norms=_window_norms(batch))
+
+
 def _encode_group(group: pa.Table) -> pa.Table:
     """Merge the partial rows of one (field, term, bucket) group and block-encode."""
     field = group["field"][0].as_py()
@@ -611,6 +674,7 @@ def build_index(
     resume: bool = True,
     layout: str = "doc_partitioned",
     docid_mode: str = "auto",
+    piece_merge_rows: Optional[int] = 262_144,
 ) -> dict:
     """Build (or resume building) an index over a transcripts Dataset.
 
@@ -640,6 +704,12 @@ def build_index(
     * ``term_partitioned`` — the classic groupby(field, term, bucket) shuffle
       into one consolidated row per key (north_star's architecture); costs an
       all-to-all over the postings volume but yields maximally compact lists.
+
+    ``piece_merge_rows`` (doc_partitioned only): window size (piece rows) for
+    in-build piece compaction — each window of tokenize outputs is locally
+    (field, term, bucket)-sorted and fragment-merged (``_piece_merge_batch``)
+    before hitting parquet, bounding pieces-per-term without any exchange.
+    ``None``/0 writes raw per-batch pieces (round-1 behavior).
     """
     import ray
     import ray.data
@@ -767,6 +837,7 @@ def build_index(
             batch_size=batch_size,
             seg_bounds=meta["seg_bounds"][str(seg)],
             layout=meta.get("layout", "term_partitioned"),
+            piece_merge_rows=piece_merge_rows,
         )
         phase_metrics[f"segment_{seg}_sec"] = round(time.time() - t0, 3)
         _tick(f"segment {seg}", t0)
@@ -806,6 +877,7 @@ def _build_segment(
     batch_size: Optional[int],
     seg_bounds: List[int],
     layout: str = "doc_partitioned",
+    piece_merge_rows: Optional[int] = None,
 ) -> None:
     import ray.data
     from ray.data.aggregate import Sum
@@ -849,6 +921,12 @@ def _build_segment(
             batch_format="pyarrow",
             batch_size=batch_size,
         )
+        if piece_merge_rows:
+            postings = postings.map_batches(
+                _piece_merge_batch,
+                batch_format="pyarrow",
+                batch_size=piece_merge_rows,
+            )
     else:
         partials = src.map_batches(
             _TokenizePartials(fields, range_width),

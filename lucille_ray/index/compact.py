@@ -111,7 +111,7 @@ def _merge_run(
 
 
 def _merge_sorted_batch(
-    batch: pa.Table, *, norms_ref=None, doc_base: int = 0
+    batch: pa.Table, *, norms_ref=None, norms=None, doc_base: int = 0
 ) -> pa.Table:
     """One batch of the (field, term, bucket)-sorted piece stream -> merged
     rows, one (or a few, for hot terms past ROW_BLOCK_CAP) per (field, term)
@@ -130,8 +130,7 @@ def _merge_sorted_batch(
     _limit_worker_threads()
     if batch.num_rows == 0:
         return batch
-    norms = None
-    if norms_ref is not None:
+    if norms is None and norms_ref is not None:
         import ray
 
         norms = ray.get(norms_ref)

@@ -50,6 +50,11 @@ from .eval import B, EMPTY, EvalContext, K1, simple_term_of, top_k
 #: float noise between bound-sum and score-sum is ~1e-12)
 THETA_EPS = 1e-6
 
+#: decoded terms with at most this many postings enter the candidate sweep as
+#: exact per-doc point events; larger ones fall back to block-range bounds so
+#: the sweep stays O(#blocks) even when the bootstrap had to decode a hot term
+POINT_EVENT_CAP = 8192
+
 #: norms window size for the per-block dl_min bound
 NORMS_WINDOW = 2048
 
@@ -278,10 +283,27 @@ def wand_top_k(
         return _merge_top_k(results, k)
 
     # ---- event sweep: piecewise-constant upper bound over doc ranges ----
-    xs = np.concatenate(
-        [t[4] for t in terms_meta] + [t[5] + 1 for t in terms_meta]
-    )
-    deltas = np.concatenate([t[6] for t in terms_meta] + [-t[6] for t in terms_meta])
+    # Bootstrap-decoded terms contribute their EXACT per-doc scores as point
+    # intervals [d, d+1) instead of block-range upper bounds: a rare term's
+    # 128-posting block can span most of a segment (especially after piece
+    # compaction merges its fragments), and a block-range bound would then
+    # lift every other term's blocks above θ — while its true contribution
+    # is zero between its docs. Exactness is unchanged (the bound at any doc
+    # still dominates the true score); hot decoded terms past the cap fall
+    # back to block ranges to keep the sweep O(#blocks), not O(df).
+    xs_parts: list = []
+    delta_parts: list = []
+    for i, t in enumerate(terms_meta):
+        hit = decoded.get(i)
+        if hit is not None and hit[0].size <= POINT_EVENT_CAP:
+            d, s = hit
+            xs_parts += [d, d + 1]
+            delta_parts += [s, -s]
+        else:
+            xs_parts += [t[4], t[5] + 1]
+            delta_parts += [t[6], -t[6]]
+    xs = np.concatenate(xs_parts)
+    deltas = np.concatenate(delta_parts)
     order = np.argsort(xs, kind="stable")
     xs_s = xs[order]
     bound = np.cumsum(deltas[order])

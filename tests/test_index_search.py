@@ -177,19 +177,36 @@ def test_hot_term_skew_build(ray_session, tmp_path):
     )
     data = str(tmp_path / "skew.parquet")
     pq2.write_table(t, data)
-    index_dir = str(tmp_path / "skew_idx")
+
+    def hot_rows(index_dir):
+        return pq2.read_table(
+            os.path.join(index_dir, "segments", "seg-00000", "postings.parquet"),
+            columns=["term", "df"],
+            filters=[("term", "==", "hot")],
+        )
+
+    # raw piece layout: the 100%-df term spreads across per-batch pieces —
+    # no monolithic merge task ever exists
+    raw_dir = str(tmp_path / "skew_idx_raw")
     build_index(
-        ray.data.read_parquet(data), index_dir, num_segments=1,
+        ray.data.read_parquet(data), raw_dir, num_segments=1,
+        range_width=256, batch_size=500, piece_merge_rows=None,
+    )
+    raw = hot_rows(raw_dir)
+    assert raw.num_rows > 1
+    assert sum(raw["df"].to_pylist()) == n
+
+    # in-build piece merge (default): same postings, fewer rows; the merge is
+    # window-local so there is still no skewed all-to-all for the hot term
+    merged_dir = str(tmp_path / "skew_idx")
+    build_index(
+        ray.data.read_parquet(data), merged_dir, num_segments=1,
         range_width=256, batch_size=500,
     )
-    post = pq2.read_table(
-        os.path.join(index_dir, "segments", "seg-00000", "postings.parquet"),
-        columns=["term", "df"],
-        filters=[("term", "==", "hot")],
-    )
-    assert post.num_rows > 1  # the 100%-df term is split into many pieces
-    assert sum(post["df"].to_pylist()) == n
-    eng = SearchEngine(index_dir, parallel=False)
+    merged = hot_rows(merged_dir)
+    assert 1 <= merged.num_rows < raw.num_rows
+    assert sum(merged["df"].to_pylist()) == n
+    eng = SearchEngine(merged_dir, parallel=False)
     assert eng.match_all("hot").num_rows == n
 
 
@@ -356,7 +373,11 @@ def test_compaction_preserves_results(built, oracle, tmp_path):
     data_dir, _, _ = built
     ds = T.read_transcripts(data_dir)
     index_dir = str(tmp_path / "cidx")
-    build_index(ds, index_dir, num_segments=2, range_width=128, batch_size=300)
+    # raw pieces (no in-build merge) so compaction's row consolidation is visible
+    build_index(
+        ds, index_dir, num_segments=2, range_width=128, batch_size=300,
+        piece_merge_rows=None,
+    )
     post0 = os.path.join(index_dir, "segments", "seg-00000", "postings.parquet")
     rows_before = pq2.read_table(post0, columns=["term"]).num_rows
     compact_index(index_dir)
@@ -369,6 +390,43 @@ def test_compaction_preserves_results(built, oracle, tmp_path):
     mtime = os.path.getmtime(mf)
     compact_index(index_dir)  # resume: skip
     assert os.path.getmtime(mf) == mtime
+
+
+def test_piece_merge_rank_identity(built, oracle, tmp_path):
+    """In-build piece compaction is layout-only: a build with the merge forced
+    into many small windows stays rank+score-identical to the oracle and emits
+    fewer posting rows than the raw piece build."""
+    import pyarrow.parquet as pq2
+    import ray.data
+
+    data_dir, _, _ = built
+    raw_dir = str(tmp_path / "pm_raw")
+    merged_dir = str(tmp_path / "pm_merged")
+    build_index(
+        T.read_transcripts(data_dir), raw_dir, num_segments=2,
+        range_width=128, batch_size=150, piece_merge_rows=None,
+    )
+    build_index(
+        T.read_transcripts(data_dir), merged_dir, num_segments=2,
+        range_width=128, batch_size=150, piece_merge_rows=2048,
+    )
+
+    def total_rows(index_dir):
+        n = 0
+        segs = os.path.join(index_dir, "segments")
+        for seg in os.listdir(segs):
+            p = os.path.join(segs, seg, "postings.parquet")
+            if os.path.isdir(p):
+                n += sum(
+                    pq2.read_metadata(os.path.join(p, f)).num_rows
+                    for f in os.listdir(p) if f.endswith(".parquet")
+                )
+        return n
+
+    assert total_rows(merged_dir) < total_rows(raw_dir)
+    engine = SearchEngine(merged_dir, parallel=False)
+    for qs in QUERY_SET[::3]:
+        _compare(engine, oracle, qs)
 
 
 def test_suggest_search_as_you_type(built, oracle):
