@@ -306,6 +306,44 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                              CAST(y.embedding AS DOUBLE[])) >= 0.3"""
 
 
+def asof_prev_event_q(sf_dir: str):
+    """Per-user AS-OF (previous-event) self-join over the events stream."""
+    import ray.data
+
+    from .ops.joins import asof_prev_event
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return asof_prev_event(ds)
+
+
+def _sql_asof_prev_event() -> str:
+    from .ops.joins import ASOF_PREV_EVENT_SQL
+
+    return ASOF_PREV_EVENT_SQL
+
+
+def range_count_nearby_q(sf_dir: str):
+    """Bounded interval (range) self-join: events within ±6h per user."""
+    import ray.data
+
+    from .ops.joins import range_count_nearby
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    return range_count_nearby(ds, window_seconds=21_600)
+
+
+def _sql_range_count_nearby() -> str:
+    from .ops.joins import RANGE_COUNT_NEARBY_SQL
+
+    return RANGE_COUNT_NEARBY_SQL.format(w=21_600)
+
+
 def pricing_summary_q(sf_dir: str):
     """TPC-H-Q1-shaped relational aggregate over lineitem: predicate + column
     pruning at the read, batch-partial aggregation, tiny final groupby."""
@@ -649,6 +687,8 @@ def registry() -> Dict[str, tuple]:
         "sessionize": (sessionize_q, _sessionize_sql()),
         "tumbling_window": (tumbling_window_q, _sql_tumbling_window()),
         "pricing_summary": (pricing_summary_q, _sql_pricing_summary()),
+        "asof_prev_event": (asof_prev_event_q, _sql_asof_prev_event()),
+        "range_count_nearby": (range_count_nearby_q, _sql_range_count_nearby()),
         "filter_all_matches": (
             filter_all_matches_q,
             osql.search_sql([_tc("join"), _tc("hash")], mode="and", k=None),

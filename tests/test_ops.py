@@ -268,6 +268,59 @@ def test_tumbling_window_agg(ray_session):
     assert out["window_start"].tolist() == [w0, w0 + 3600, w0]
 
 
+def test_asof_prev_event(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from lucille_ray.ops.joins import asof_prev_event
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        {"user_id": 1, "event_id": 10, "ts": base, "event_type": "view"},
+        {"user_id": 1, "event_id": 11, "ts": base + pd.Timedelta("5min"), "event_type": "click"},
+        {"user_id": 1, "event_id": 12, "ts": base + pd.Timedelta("6min"), "event_type": "buy"},
+        # user 2: single event -> no output row (inner as-of)
+        {"user_id": 2, "event_id": 20, "ts": base, "event_type": "view"},
+    ]
+    out = (
+        asof_prev_event(ray.data.from_items(rows))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["event_id"].tolist() == [11, 12]
+    assert out["prev_event_id"].tolist() == [10, 11]
+    assert out["prev_type"].tolist() == ["view", "click"]
+    assert out["gap_us"].tolist() == [300_000_000, 60_000_000]
+    assert str(out["ts"].dtype) == "datetime64[us]"
+    assert str(out["prev_ts"].dtype) == "datetime64[us]"
+
+
+def test_range_count_nearby(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from lucille_ray.ops.joins import range_count_nearby
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        {"user_id": 1, "event_id": 0, "ts": base},
+        {"user_id": 1, "event_id": 1, "ts": base + pd.Timedelta("30s")},
+        {"user_id": 1, "event_id": 2, "ts": base + pd.Timedelta("61s")},  # 61s from e0
+        {"user_id": 1, "event_id": 3, "ts": base + pd.Timedelta("10min")},
+        {"user_id": 2, "event_id": 4, "ts": base},
+    ]
+    out = (
+        range_count_nearby(ray.data.from_items(rows), window_seconds=60)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # windows are inclusive and include self:
+    # e0 sees {e0,e1}; e1 sees {e0,e1,e2}; e2 sees {e1,e2}; e3 sees {e3}; e4 {e4}
+    assert out["n_nearby"].tolist() == [2, 3, 2, 1, 1]
+
+
 def test_pricing_summary_matches_pandas(ray_session):
     import ray.data
 
