@@ -5,6 +5,7 @@ imports this module).
 
     python -m lucille_ray generate --turns 100000 --out /tmp/tr
     python -m lucille_ray build --input /tmp/tr --index /tmp/idx --segments 4
+    python -m lucille_ray append --input /tmp/more --index /tmp/idx
     python -m lucille_ray compact --index /tmp/idx
     python -m lucille_ray search --index /tmp/idx 'role:assistant AND deploy*' -k 5
     python -m lucille_ray suggest --index /tmp/idx 'role:assistant AND depl'
@@ -66,6 +67,12 @@ def main(argv=None) -> int:
                    default="doc_partitioned")
     b.add_argument("--batch-size", type=int, default=16384)
 
+    ap = sub.add_parser("append", help="append new conversations to an existing index")
+    ap.add_argument("--input", required=True, help="transcripts parquet dir/file")
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--segments", type=int, default=1)
+    ap.add_argument("--batch-size", type=int, default=16384)
+
     c = sub.add_parser("compact", help="compact posting pieces for serving")
     c.add_argument("--index", required=True)
 
@@ -120,6 +127,16 @@ def main(argv=None) -> int:
             )
             print(json.dumps({k: meta[k] for k in
                               ("total_docs", "num_segments", "layout", "build_seconds")}))
+        elif args.cmd == "append":
+            from lucille_ray.index import append_index
+            from lucille_ray.transcripts import read_transcripts
+
+            meta = append_index(
+                read_transcripts(args.input), args.index,
+                num_segments=args.segments, batch_size=args.batch_size,
+            )
+            print(json.dumps({k: meta[k] for k in
+                              ("total_docs", "num_segments", "layout")}))
         elif args.cmd == "compact":
             from lucille_ray.index import compact_index
 

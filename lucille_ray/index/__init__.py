@@ -1,4 +1,4 @@
-from .build import build_index, segment_complete  # noqa: F401
+from .build import append_index, build_index, segment_complete  # noqa: F401
 from .compact import compact_index  # noqa: F401
 from .codec import (  # noqa: F401
     BLOCK_SIZE,

@@ -164,7 +164,8 @@ _CONV_MAP_CACHE: Dict[str, dict] = {}
 
 
 def _assign_doc_ids(
-    batch: pa.Table, conv_map_ref, seg_target: int, num_segments: int
+    batch: pa.Table, conv_map_ref, seg_target: int, num_segments: int,
+    seg_base: int = 0, base_lo: int = 0,
 ) -> pa.Table:
     """Attach doc_id/seg. The conv->base table is broadcast as an Arrow table
     (``ray.get`` of it is zero-copy from local plasma); per WORKER PROCESS it is
@@ -195,7 +196,10 @@ def _assign_doc_ids(
         raise ValueError(f"conv_id {missing!r} not present in the offsets map")
     bases = base_sorted[idx]
     doc_id = bases + turn
-    seg = np.minimum(bases // seg_target, num_segments - 1)
+    # seg_base/base_lo support append_index: appended conversations' bases are
+    # global (>= the committed index's total_docs) but segment numbering within
+    # the append batch is relative
+    seg = seg_base + np.minimum((bases - base_lo) // seg_target, num_segments - 1)
     return batch.append_column("doc_id", pa.array(doc_id)).append_column(
         "seg", pa.array(seg.astype(np.int32))
     )
@@ -864,6 +868,120 @@ def build_index(
             json.dump(phase_metrics, fh, indent=1)
     except OSError:
         pass
+    return meta
+
+
+def append_index(
+    ds,
+    index_dir: str,
+    *,
+    num_segments: int = 1,
+    batch_size: Optional[int] = 4096,
+    piece_merge_rows: Optional[int] = 262_144,
+) -> dict:
+    """Incremental ingest: index new conversations into an EXISTING index as
+    fresh segments — a Lucene-style commit-point append, no rebuild.
+
+    Contract:
+
+    * the appended Dataset holds WHOLE conversations (turn_idx dense 0..n-1 per
+      conv — validated) whose conv_ids are new to the index; re-appending an
+      existing conversation duplicates it, exactly like Lucene addDocument
+      (no global membership check — at 10^11 conversations that test IS the
+      docmap; dedup upstream or compact with a tombstone pass).
+    * appended docs get ids starting at the committed ``total_docs``, in sorted
+      conv order within the batch. Existing doc ids never change.
+    * the COMMIT is the atomic index-meta rewrite after every new segment's
+      manifest is complete. A crash anywhere before that leaves the index
+      serving exactly the previous commit (readers open only the segments the
+      meta records); a re-run wipes the uncommitted leftovers and redoes the
+      append. BM25 global stats (df, avgdl) pick up the new segments on the
+      next engine plan — scores naturally shift with the corpus, as they must.
+    """
+    import shutil
+
+    import ray
+    import ray.data
+
+    meta_path = os.path.join(index_dir, INDEX_META_FILE)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    base0 = int(meta["total_docs"])
+    seg0 = int(meta["num_segments"])
+    docmapped_root = os.path.join(index_dir, "docmapped")
+    seg_root = os.path.join(index_dir, "segments")
+
+    # wipe uncommitted leftovers from a crashed previous append
+    if os.path.isdir(docmapped_root):
+        for name in os.listdir(docmapped_root):
+            if name.startswith("seg=") and int(name.split("=", 1)[1]) >= seg0:
+                shutil.rmtree(os.path.join(docmapped_root, name))
+    if os.path.isdir(seg_root):
+        for name in os.listdir(seg_root):
+            try:
+                num = int(name.split("-", 1)[1])
+            except (IndexError, ValueError):
+                continue
+            if num >= seg0:
+                shutil.rmtree(os.path.join(seg_root, name))
+
+    convs, bases, counts = _conv_offsets(ds)
+    total_new = int(counts.sum())
+    if total_new == 0:
+        return meta
+    nseg = max(1, min(num_segments, len(convs)))
+    seg_target = -(-total_new // nseg)  # ceil
+    conv_map_ref = ray.put(
+        pa.table({"conv_id": convs, "base": pa.array(bases + base0)})
+    )
+    ds.map_batches(
+        _assign_doc_ids,
+        fn_args=(conv_map_ref, seg_target, nseg, seg0, base0),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    ).write_parquet(docmapped_root, partition_cols=["seg"])
+
+    new_bounds = {}
+    seg_of_conv = np.minimum(bases // seg_target, nseg - 1)
+    for s in range(nseg):
+        mask = seg_of_conv == s
+        if mask.any():
+            lo = int(bases[mask][0]) + base0
+            hi = int(bases[mask][-1] + counts[mask][-1]) + base0
+        else:
+            lo = hi = 0
+        new_bounds[str(seg0 + s)] = [lo, hi]
+
+    def _run(s: int) -> None:
+        _build_segment(
+            index_dir,
+            seg0 + s,
+            docmapped_root,
+            fields=meta["fields"],
+            range_width=meta["range_width"],
+            batch_size=batch_size,
+            seg_bounds=new_bounds[str(seg0 + s)],
+            layout=meta.get("layout", "doc_partitioned"),
+            piece_merge_rows=piece_merge_rows,
+        )
+
+    if nseg == 1:
+        _run(0)
+    else:
+        _ensure_threadsafe_fs_imports()
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, nseg)) as ex:
+            list(ex.map(_run, range(nseg)))
+
+    # ---- commit: atomic meta rewrite ----
+    meta["total_docs"] = base0 + total_new
+    meta["num_segments"] = seg0 + nseg
+    meta["seg_bounds"].update(new_bounds)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, meta_path)
     return meta
 
 

@@ -312,10 +312,13 @@ def _overlap_mask(
 
 
 def load_segments(index_dir: str) -> List[SegmentReader]:
+    """Readers for the COMMITTED segments (the ones index meta records);
+    uncommitted leftovers from a crashed ``append_index`` are ignored."""
+    import json
+
+    with open(os.path.join(index_dir, "index_meta.json")) as f:
+        n = int(json.load(f)["num_segments"])
     seg_root = os.path.join(index_dir, "segments")
-    readers = []
-    for name in sorted(os.listdir(seg_root)):
-        seg_dir = os.path.join(seg_root, name)
-        if os.path.isdir(seg_dir):
-            readers.append(SegmentReader(seg_dir))
-    return readers
+    return [
+        SegmentReader(os.path.join(seg_root, f"seg-{s:05d}")) for s in range(n)
+    ]

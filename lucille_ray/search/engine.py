@@ -182,11 +182,13 @@ class SearchEngine:
                 f"index {index_dir} has format version {self.meta.get('version')}; "
                 f"this engine reads version {INDEX_FORMAT_VERSION} — rebuild the index"
             )
+        # open exactly the segments the committed meta records: a crashed
+        # append_index may leave extra (uncommitted) segment dirs behind, and
+        # those must be invisible until their commit lands
         seg_root = os.path.join(index_dir, "segments")
         self.seg_dirs = [
-            os.path.join(seg_root, n)
-            for n in sorted(os.listdir(seg_root))
-            if os.path.isdir(os.path.join(seg_root, n))
+            os.path.join(seg_root, f"seg-{s:05d}")
+            for s in range(int(self.meta["num_segments"]))
         ]
         if parallel == "auto":
             try:
