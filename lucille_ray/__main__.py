@@ -73,6 +73,11 @@ def main(argv=None) -> int:
     ap.add_argument("--segments", type=int, default=1)
     ap.add_argument("--batch-size", type=int, default=16384)
 
+    de = sub.add_parser("delete", help="tombstone conversations or doc ids")
+    de.add_argument("--index", required=True)
+    de.add_argument("--conv", action="append", default=[], help="conversation id (repeatable)")
+    de.add_argument("--docs", default="", help="comma-separated global doc ids")
+
     c = sub.add_parser("compact", help="compact posting pieces for serving")
     c.add_argument("--index", required=True)
 
@@ -137,6 +142,15 @@ def main(argv=None) -> int:
             )
             print(json.dumps({k: meta[k] for k in
                               ("total_docs", "num_segments", "layout")}))
+        elif args.cmd == "delete":
+            from lucille_ray.index import delete_conversations, delete_docs
+
+            n = 0
+            if args.conv:
+                n += delete_conversations(args.index, args.conv)
+            if args.docs:
+                n += delete_docs(args.index, [int(x) for x in args.docs.split(",")])
+            print(json.dumps({"newly_deleted": n}))
         elif args.cmd == "compact":
             from lucille_ray.index import compact_index
 

@@ -60,6 +60,21 @@ class SegmentReader:
         # conjunctive queries decode each pruned subset once, not per query
         self._pruned_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._pruned_cache_cap = 128
+        # tombstones: sorted global doc ids marked deleted (``deleted.npy``,
+        # written by index.delete). Loaded once at reader construction —
+        # readers opened after a delete see it (Lucene reopen semantics).
+        # Postings are filtered at the decode choke point below; df/norms/
+        # avgdl stats intentionally keep counting tombstoned docs until a
+        # rewrite, exactly like Lucene's maxDoc-based stats before a merge.
+        self.deleted: Optional[np.ndarray] = None
+        tomb = os.path.join(seg_dir, "deleted.npy")
+        if os.path.exists(tomb):
+            try:
+                arr = np.load(tomb).astype(np.int64, copy=False)
+                if arr.size:
+                    self.deleted = arr
+            except (OSError, ValueError):
+                raise ValueError(f"unreadable tombstone file {tomb}")
 
     # ---- stats ----
 
@@ -222,8 +237,24 @@ class SegmentReader:
             if docs.size > 1 and (np.diff(docs) <= 0).any():
                 # doc_partitioned pieces can interleave ranges; restore doc order
                 docs, tfs, pos = sort_postings(docs, tfs, pos)
+            if self.deleted is not None and term != NORMS_TERM:
+                docs, tfs, pos = self._drop_deleted(docs, tfs, pos)
             out[term] = (docs, tfs, pos)
         return out
+
+    def _drop_deleted(
+        self, docs: np.ndarray, tfs: np.ndarray, pos: Optional[np.ndarray]
+    ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+        """Filter tombstoned docs out of one decoded posting list (positions
+        stay aligned: each doc owns ``tf`` consecutive position entries)."""
+        idx = np.searchsorted(self.deleted, docs)
+        idx = np.clip(idx, 0, self.deleted.size - 1)
+        keep = self.deleted[idx] != docs
+        if keep.all():
+            return docs, tfs, pos
+        if pos is not None and pos.size:
+            pos = pos[np.repeat(keep, tfs)]
+        return docs[keep], tfs[keep], pos
 
     def postings(
         self, field: str, term: str, want_positions: bool = False

@@ -114,7 +114,10 @@ class SegmentScorer:
         for r in self.readers:
             if r.doc_count == 0:
                 continue
-            if wand is not None:
+            if wand is not None and r.deleted is None:
+                # WAND reads raw blocks below the tombstone filter, so a
+                # segment with deletes takes the (leaf-filtered) full
+                # evaluator until a rewrite purges its tombstones
                 parts, scale, min_match = wand
                 docs, scores = wand_top_k(r, ctx, parts, k, min_match)
                 if scale != 1.0:

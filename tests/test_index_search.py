@@ -283,6 +283,60 @@ def test_append_index_incremental_ingest(built, oracle, tmp_path):
         _compare(engine3, oracle, qs)
 
 
+def test_delete_tombstones(built, tmp_path):
+    """Tombstoned conversations vanish from every query shape; surviving docs
+    keep BIT-IDENTICAL scores (stats stay maxDoc-based until a rewrite, the
+    Lucene liveDocs contract); deletes are idempotent and accumulative."""
+    import ray.data
+
+    from lucille_ray.index import delete_conversations, delete_docs
+
+    data_dir, _, table = built
+    index_dir = str(tmp_path / "didx")
+    build_index(
+        ray.data.read_parquet(data_dir), index_dir, num_segments=2,
+        range_width=256, batch_size=400,
+    )
+    before = SearchEngine(index_dir, parallel=False)
+
+    queries = [
+        "data", "data AND query", '"lazy evaluation"', "deploy OR jump",
+        "data AND NOT query", "(data query join)@2", "role:assistant AND deploy",
+    ]
+    pre = {qs: before.search(qs, k=50, with_meta=False) for qs in queries}
+    # pick the conversation of the top 'data' hit — guaranteed in results
+    victim_conv = before.search("data", k=1)["conv_id"][0].as_py()
+    victim_docs = set(
+        i for i, c in enumerate(sorted(
+            zip(table["conv_id"].to_pylist(), table["turn_idx"].to_pylist())
+        )) if c[0] == victim_conv
+    )
+    assert victim_docs
+
+    n = delete_conversations(index_dir, [victim_conv])
+    assert n == len(victim_docs)
+    assert delete_conversations(index_dir, [victim_conv]) == 0  # idempotent
+    assert delete_docs(index_dir, [10**12]) == 0  # out of range ignored
+
+    after = SearchEngine(index_dir, parallel=False)
+    for qs in queries:
+        got = after.search(qs, k=50, with_meta=False)
+        gp = list(zip(got["doc_id"].to_pylist(), got["score"].to_pylist()))
+        exp = [
+            (d, s)
+            for d, s in zip(pre[qs]["doc_id"].to_pylist(), pre[qs]["score"].to_pylist())
+            if d not in victim_docs
+        ][: len(gp)]
+        assert [d for d, _ in gp][: len(exp)] == [d for d, _ in exp], qs
+        for (gd, gs), (ed, es) in zip(gp, exp):
+            assert gs == es, f"{qs!r}: survivor score changed {gs} != {es}"
+    # match_all excludes tombstoned docs too
+    ma = after.match_all("data")
+    assert not victim_docs & set(ma["doc_id"].to_pylist())
+    # the tombstoned conv really did match before
+    assert victim_docs & set(before.match_all("data")["doc_id"].to_pylist())
+
+
 def test_ranged_docid_mode_identical_results(built, oracle, tmp_path):
     """docid_mode='ranged' (distributed sort + hash join, no driver conv map)
     must produce an identical index: same doc ids, same search results."""
