@@ -559,6 +559,15 @@ def _window_norms(batch: pa.Table) -> dict:
     return out
 
 
+#: in-build merge engages only when at least this fraction of a window's
+#: blocks are undersized fragments: merging buys nothing on low-fragmentation
+#: windows (long runs of full blocks — e.g. hot terms over big batches) and
+#: its row materialization cost measured a 22% 8-cpu build-throughput hit on
+#: such a corpus (BASELINE.md); heavy-tailed real vocabularies sit far above
+#: this threshold and merge every window
+PIECE_MERGE_MIN_FRAG = 0.25
+
+
 def _piece_merge_batch(batch: pa.Table) -> pa.Table:
     """In-build piece compaction (shuffle-free): locally sort a window of
     tokenize-encode piece rows by (field, term, bucket) and merge each term's
@@ -571,9 +580,22 @@ def _piece_merge_batch(batch: pa.Table) -> pa.Table:
     fragment block) collapsing to a handful — while keeping the build's
     zero-all-to-all property: the merge only ever sees rows already on this
     worker. Output rows stay (field, term)-clustered, so parquet row-group
-    min/max stats prune term lookups even before full compaction."""
+    min/max stats prune term lookups even before full compaction.
+
+    Merge POLICY (LSM-style): a zero-copy peek at the window's per-block
+    posting counts decides whether merging pays; barely-fragmented windows
+    pass through untouched."""
     _limit_worker_threads()
     if batch.num_rows <= 1:
+        return batch
+    from .codec import BLOCK_SIZE
+
+    ns = (
+        batch["blocks"].combine_chunks().flatten().field("n").to_numpy(
+            zero_copy_only=False
+        )
+    )
+    if ns.size == 0 or (ns < BLOCK_SIZE).mean() < PIECE_MERGE_MIN_FRAG:
         return batch
     from .compact import _merge_sorted_batch
 
@@ -678,7 +700,7 @@ def build_index(
     resume: bool = True,
     layout: str = "doc_partitioned",
     docid_mode: str = "auto",
-    piece_merge_rows: Optional[int] = 262_144,
+    piece_merge_rows: Optional[int] = "auto",
 ) -> dict:
     """Build (or resume building) an index over a transcripts Dataset.
 
@@ -713,10 +735,17 @@ def build_index(
     in-build piece compaction — each window of tokenize outputs is locally
     (field, term, bucket)-sorted and fragment-merged (``_piece_merge_batch``)
     before hitting parquet, bounding pieces-per-term without any exchange.
-    ``None``/0 writes raw per-batch pieces (round-1 behavior).
+    ``None``/0 writes raw per-batch pieces (round-1 behavior). Sizing: the
+    merge stage's task count is ``total_piece_rows / window``; too large a
+    window starves CPUs on small-vocabulary corpora (a 262144 default measured
+    2-3 merge tasks per 10M-turn segment and dragged 2→8-cpu build scaling to
+    0.63), while a window below one tokenize batch's row count merges nothing.
     """
     import ray
     import ray.data
+
+    if piece_merge_rows == "auto":
+        piece_merge_rows = int(os.environ.get("LR_PIECE_MERGE_ROWS", 65_536)) or None
 
     os.makedirs(index_dir, exist_ok=True)
     t_start = time.time()
@@ -877,7 +906,7 @@ def append_index(
     *,
     num_segments: int = 1,
     batch_size: Optional[int] = 4096,
-    piece_merge_rows: Optional[int] = 262_144,
+    piece_merge_rows: Optional[int] = "auto",
 ) -> dict:
     """Incremental ingest: index new conversations into an EXISTING index as
     fresh segments — a Lucene-style commit-point append, no rebuild.
@@ -902,6 +931,9 @@ def append_index(
 
     import ray
     import ray.data
+
+    if piece_merge_rows == "auto":
+        piece_merge_rows = int(os.environ.get("LR_PIECE_MERGE_ROWS", 65_536)) or None
 
     meta_path = os.path.join(index_dir, INDEX_META_FILE)
     with open(meta_path) as f:

@@ -47,9 +47,20 @@ def _reencode(
     return encode_postings(docs, tfs, pos, dls=dls)
 
 
+def _filter_deleted_run(docs, tfs, pos, deleted):
+    """Drop tombstoned docs from one decoded run (positions stay aligned)."""
+    idx = np.clip(np.searchsorted(deleted, docs), 0, deleted.size - 1)
+    keep = deleted[idx] != docs
+    if keep.all():
+        return docs, tfs, pos
+    if pos is not None and pos.size:
+        pos = pos[np.repeat(keep, tfs)]
+    return docs[keep], tfs[keep], pos
+
+
 def _merge_run(
     field: str, term: str, blocks: list, norms, doc_base: int, out: dict,
-    run_total_tf: int,
+    run_total_tf: int, deleted=None,
 ) -> None:
     """Merge one (field, term) run of piece blocks into consolidated rows of at
     most ROW_BLOCK_CAP blocks each, appended to the ``out`` column lists.
@@ -73,6 +84,33 @@ def _merge_run(
     want_pos = term != NORMS_TERM
     nb = len(blocks)
     if nb == 0:
+        return
+    if deleted is not None and want_pos:
+        # purge path (tombstoned segment): every block decodes, tombstoned
+        # docs drop, and per-row df/total_tf are re-derived from what remains —
+        # the Lucene-merge moment where deletes actually reclaim space.
+        # NORMS rows are exempt: the norms array must stay dense over maxDoc.
+        docs, tfs, pos = decode_postings(blocks, want_positions=True)
+        docs, tfs, pos = sort_postings(docs, tfs, pos)
+        docs, tfs, pos = _filter_deleted_run(docs, tfs, pos, deleted)
+        if docs.size == 0:
+            return  # the term died with its last documents
+        dls = None
+        if norms is not None:
+            arr = norms.get(field)
+            if arr is not None:
+                dls = arr[docs - doc_base]
+        merged = encode_postings(docs, tfs, pos, dls=dls)
+        first_row = True
+        for c0 in range(0, len(merged), ROW_BLOCK_CAP):
+            chunk = merged[c0: c0 + ROW_BLOCK_CAP]
+            out["field"].append(field)
+            out["term"].append(term)
+            out["bucket"].append(int(chunk[0]["first_doc"]))
+            out["df"].append(int(sum(b["n"] for b in chunk)))
+            out["total_tf"].append(int(tfs.sum()) if first_row else 0)
+            out["blocks"].append(chunk)
+            first_row = False
         return
     firsts = np.fromiter((b["first_doc"] for b in blocks), np.int64, nb)
     if nb > 1 and (np.diff(firsts) < 0).any():
@@ -111,7 +149,8 @@ def _merge_run(
 
 
 def _merge_sorted_batch(
-    batch: pa.Table, *, norms_ref=None, norms=None, doc_base: int = 0
+    batch: pa.Table, *, norms_ref=None, norms=None, doc_base: int = 0,
+    deleted_ref=None,
 ) -> pa.Table:
     """One batch of the (field, term, bucket)-sorted piece stream -> merged
     rows, one (or a few, for hot terms past ROW_BLOCK_CAP) per (field, term)
@@ -134,6 +173,11 @@ def _merge_sorted_batch(
         import ray
 
         norms = ray.get(norms_ref)
+    deleted = None
+    if deleted_ref is not None:
+        import ray
+
+        deleted = ray.get(deleted_ref)
     fields = batch["field"].to_pylist()
     terms = batch["term"].to_pylist()
     blocks_col = batch["blocks"].to_pylist()
@@ -142,11 +186,13 @@ def _merge_sorted_batch(
     run_f, run_t, run_blocks, run_ttf = fields[0], terms[0], [], 0
     for f, t, b, tt in zip(fields, terms, blocks_col, ttfs):
         if f != run_f or t != run_t:
-            _merge_run(run_f, run_t, run_blocks, norms, doc_base, out, run_ttf)
+            _merge_run(run_f, run_t, run_blocks, norms, doc_base, out, run_ttf,
+                       deleted=deleted)
             run_f, run_t, run_blocks, run_ttf = f, t, [], 0
         run_blocks.extend(b)
         run_ttf += tt
-    _merge_run(run_f, run_t, run_blocks, norms, doc_base, out, run_ttf)
+    _merge_run(run_f, run_t, run_blocks, norms, doc_base, out, run_ttf,
+               deleted=deleted)
     return pa.table(
         {
             "field": pa.array(out["field"], pa.string()),
@@ -214,11 +260,13 @@ def _compact_segment(seg_dir: str, manifest: dict, manifest_path: str) -> None:
     # broadcast the segment's norms once (ray.put, zero-copy reads in every
     # merge task) so re-cut blocks keep an exact min_dl for WAND bounds
     reader = SegmentReader(seg_dir)
-    norms_ref = ray.put(
-        {f: reader.norms(f) for f in manifest.get("fields", [])}
-    )
+    norms = {f: reader.norms(f) for f in manifest.get("fields", [])}
+    norms_ref = ray.put(norms)
+    # tombstoned segment: this merge is the purge — broadcast the deleted set
+    deleted_ref = ray.put(reader.deleted) if reader.deleted is not None else None
     merge_fn = functools.partial(
-        _merge_sorted_batch, norms_ref=norms_ref, doc_base=reader.doc_base
+        _merge_sorted_batch, norms_ref=norms_ref, doc_base=reader.doc_base,
+        deleted_ref=deleted_ref,
     )
 
     ds = _retry_fs_import_race(lambda: ray.data.read_parquet(postings_path))
@@ -250,6 +298,30 @@ def _compact_segment(seg_dir: str, manifest: dict, manifest_path: str) -> None:
     os.rename(postings_path, bak)
     os.rename(tmp_path, postings_path)
     shutil.rmtree(bak)
+    if reader.deleted is not None:
+        # the postings above no longer contain the tombstoned docs: record
+        # LIVE stats (numDocs/liveDl) next to the untouched maxDoc ones —
+        # engine-level N and avgdl switch to them, like Lucene after a merge —
+        # then drop the tombstone file so WAND re-enables. Crash between any
+        # two steps re-runs this segment's compaction (manifest lands last)
+        # and converges: re-filtering already-purged postings is a no-op.
+        dead = reader.deleted
+        stats_path = os.path.join(seg_dir, "stats.json")
+        with open(stats_path) as f:
+            stats = json.load(f)
+        stats["live_docs"] = int(stats["doc_count"]) - int(dead.size)
+        for f_, st in stats.get("fields", {}).items():
+            arr = norms.get(f_)
+            removed = int(arr[dead - reader.doc_base].sum()) if arr is not None else 0
+            st["live_dl"] = int(st["total_dl"]) - removed
+        tmp_st = stats_path + ".tmp"
+        with open(tmp_st, "w") as f:
+            json.dump(stats, f, indent=1)
+        os.replace(tmp_st, stats_path)
+        os.remove(os.path.join(seg_dir, "deleted.npy"))
+        manifest["purged_docs"] = int(
+            manifest.get("purged_docs", 0)
+        ) + int(dead.size)
     manifest["compacted"] = True
     manifest["posting_rows"] = sum(
         pq.read_metadata(os.path.join(postings_path, f)).num_rows
@@ -289,7 +361,14 @@ def compact_index(index_dir: str, *, resume: bool = True) -> None:
             continue
         postings_path = os.path.join(seg_dir, "postings.parquet")
         _recover_interrupted_swap(postings_path)
-        if resume and manifest.get("compacted") and os.path.isdir(postings_path):
+        if (
+            resume
+            and manifest.get("compacted")
+            and os.path.isdir(postings_path)
+            # deletes after a previous compaction re-qualify the segment:
+            # this pass is also the tombstone purge
+            and not os.path.exists(os.path.join(seg_dir, "deleted.npy"))
+        ):
             continue
         pending.append((seg_dir, manifest, manifest_path))
     if not pending:

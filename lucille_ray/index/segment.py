@@ -81,6 +81,16 @@ class SegmentReader:
     def total_dl(self, field: str) -> int:
         return int(self.stats["fields"].get(field, {}).get("total_dl", 0))
 
+    @property
+    def live_docs(self) -> int:
+        """numDocs for corpus-level stats: equals maxDoc (``doc_count``) until
+        a compaction purge records the post-delete live count."""
+        return int(self.stats.get("live_docs", self.doc_count))
+
+    def live_total_dl(self, field: str) -> int:
+        st = self.stats["fields"].get(field, {})
+        return int(st.get("live_dl", st.get("total_dl", 0)))
+
     # ---- norms ----
 
     def norms(self, field: str) -> np.ndarray:

@@ -65,11 +65,14 @@ class SegmentScorer:
                     pass
 
     def local_stats(self) -> dict:
+        # live (post-purge) counts when a compaction recorded them; identical
+        # to maxDoc counts otherwise — tombstoned-but-unpurged docs still
+        # count, which is what keeps survivor scores stable across a delete
         out = {"n_docs": 0, "total_dl": {}}
         for r in self.readers:
-            out["n_docs"] += r.doc_count
-            for f, st in r.stats.get("fields", {}).items():
-                out["total_dl"][f] = out["total_dl"].get(f, 0) + st["total_dl"]
+            out["n_docs"] += r.live_docs
+            for f in r.stats.get("fields", {}):
+                out["total_dl"][f] = out["total_dl"].get(f, 0) + r.live_total_dl(f)
         return out
 
     def resolve(

@@ -337,6 +337,67 @@ def test_delete_tombstones(built, tmp_path):
     assert victim_docs & set(before.match_all("data")["doc_id"].to_pylist())
 
 
+def test_delete_purge_at_compaction(built, tmp_path):
+    """Compaction purges tombstones (the Lucene merge moment): deleted docs
+    leave the postings physically, live stats (numDocs/avgdl/df) take over, the
+    tombstone file disappears (WAND re-enables), and the purged index is
+    rank+score-equivalent to a brute-force oracle over the live corpus."""
+    import json
+
+    import ray.data
+
+    from lucille_ray.index import compact_index, delete_conversations
+
+    data_dir, _, table = built
+    index_dir = str(tmp_path / "pidx")
+    build_index(
+        ray.data.read_parquet(data_dir), index_dir, num_segments=2,
+        range_width=256, batch_size=400,
+    )
+    victim_conv = SearchEngine(index_dir, parallel=False).search(
+        "data", k=1
+    )["conv_id"][0].as_py()
+    n_deleted = delete_conversations(index_dir, [victim_conv])
+    assert n_deleted > 0
+
+    compact_index(index_dir)
+
+    seg_root = os.path.join(index_dir, "segments")
+    purged = 0
+    for name in sorted(os.listdir(seg_root)):
+        seg_dir = os.path.join(seg_root, name)
+        assert not os.path.exists(os.path.join(seg_dir, "deleted.npy"))
+        mf = json.load(open(os.path.join(seg_dir, "MANIFEST.json")))
+        purged += int(mf.get("purged_docs", 0))
+    assert purged == n_deleted
+
+    engine = SearchEngine(index_dir, parallel=False)
+    for s in engine._scorers():
+        assert all(r.deleted is None for r in s.readers)  # WAND path restored
+
+    # equivalence with an index built from the live corpus: compare by
+    # (conv_id, turn_idx) since engine doc ids keep their (gappy) values
+    live = table.filter(pc.invert(pc.equal(table["conv_id"], victim_conv)))
+    live_oracle = BruteForceOracle(live)
+    for qs in QUERY_SET[::3]:
+        got = engine.search(qs, k=10)
+        exp = live_oracle.search(qs, k=10)
+        assert got.num_rows == len(exp), qs
+        exp_keys = [
+            (live_oracle.conv_id[d], live_oracle.turn_idx[d]) for d, _ in exp
+        ]
+        got_keys = list(zip(got["conv_id"].to_pylist(), got["turn_idx"].to_pylist()))
+        assert got_keys == exp_keys, f"{qs!r}: {got_keys[:3]} vs {exp_keys[:3]}"
+        for gs, (_, es) in zip(got["score"].to_pylist(), exp):
+            assert abs(gs - es) < 1e-9, qs
+
+    # re-compaction without new deletes is a resume no-op
+    mfp = os.path.join(seg_root, "seg-00000", "MANIFEST.json")
+    mtime = os.path.getmtime(mfp)
+    compact_index(index_dir)
+    assert os.path.getmtime(mfp) == mtime
+
+
 def test_ranged_docid_mode_identical_results(built, oracle, tmp_path):
     """docid_mode='ranged' (distributed sort + hash join, no driver conv map)
     must produce an identical index: same doc ids, same search results."""
