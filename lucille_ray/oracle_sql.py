@@ -197,12 +197,30 @@ def search_sql(
     min_match: int = 1,
     exclude: Sequence[str] = (),
     k: Optional[int] = 10,
+    transcripts_where: Optional[str] = None,
+    by_turn: bool = False,
 ) -> str:
-    """Full statement: transcripts CTE + per-field stats + boolean combination."""
-    return (
-        f"WITH {TRANSCRIPTS_SQL_CTE},\n{field_ctes(fields)}\n"
-        + bool_query(clauses, mode=mode, min_match=min_match, exclude=exclude, k=k)
-    )
+    """Full statement: transcripts CTE + per-field stats + boolean combination.
+
+    ``transcripts_where`` restricts the corpus itself (a predicate over the
+    ``documents`` view) — BM25 stats then describe the restricted corpus, the
+    oracle twin of an index whose tombstones were purged at compaction.
+    ``by_turn`` emits ``(conv_id, turn_idx, score_r)`` instead of doc_id —
+    the comparison key for appended indexes, whose doc ids are arrival-ordered
+    rather than global-rank-ordered."""
+    cte = TRANSCRIPTS_SQL_CTE
+    if transcripts_where:
+        cte = cte.replace(
+            "FROM documents", f"FROM documents\n  WHERE {transcripts_where}"
+        )
+    body = bool_query(clauses, mode=mode, min_match=min_match, exclude=exclude, k=k)
+    if by_turn:
+        return (
+            f"WITH {cte},\n{field_ctes(fields)},\nhits AS (\n{body}\n)\n"
+            "SELECT t.conv_id, t.turn_idx, h.score_r\n"
+            "FROM hits h JOIN transcripts t USING (doc_id)"
+        )
+    return f"WITH {cte},\n{field_ctes(fields)}\n" + body
 
 
 # ---------------------------------------------------------------------------

@@ -648,6 +648,109 @@ def _sql_suggest() -> str:
     return osql.search_sql([_tc("join"), last], mode="and")
 
 
+_LIFECYCLE_CONV_MOD = 7  # conversations with conv_num % 7 == 3 are the moved set
+
+
+def _derived_subset(sf_dir: str, victims: bool):
+    """Derived transcripts restricted to (non-)victim conversations."""
+    import numpy as np_
+    import ray.data
+
+    from . import transcripts as T_
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def filt(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = ((d // 8) % _LIFECYCLE_CONV_MOD == 3) == victims
+        return batch.filter(pa.array(mask))
+
+    return (
+        ds.map_batches(filt, batch_format="pyarrow")
+        .map_batches(T_.derive_batch, batch_format="pyarrow")
+        .select_columns([f.name for f in T_.TRANSCRIPT_SCHEMA])
+    )
+
+
+def _append_engine(sf_dir: str) -> SearchEngine:
+    """Index built WITHOUT the victim conversations, then append_index'd with
+    them — proves incremental ingest converges to the full corpus."""
+    key = sf_dir + "#append"
+    eng = _ENGINES.get(key)
+    if eng is None:
+        import shutil
+
+        from .index import compact_index
+        from .index.build import append_index
+
+        tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+        index_dir = os.path.join(CACHE_ROOT, f"idxapp-{tag}")
+        shutil.rmtree(index_dir, ignore_errors=True)  # deterministic rebuild
+        build_index(
+            _derived_subset(sf_dir, False), index_dir, num_segments=2, batch_size=8192
+        )
+        append_index(_derived_subset(sf_dir, True), index_dir, batch_size=8192)
+        compact_index(index_dir)
+        eng = _ENGINES[key] = SearchEngine(index_dir, parallel=False)
+    return eng
+
+
+def _delete_engine(sf_dir: str) -> SearchEngine:
+    """Full index with the victim conversations tombstoned and PURGED at
+    compaction — the oracle recomputes BM25 over the live corpus only."""
+    key = sf_dir + "#delete"
+    eng = _ENGINES.get(key)
+    if eng is None:
+        import shutil
+
+        import pyarrow.parquet as pq_
+
+        from .index import compact_index, delete_conversations
+        from .transcripts import derive_from_documents
+
+        tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+        index_dir = os.path.join(CACHE_ROOT, f"idxdel-{tag}")
+        shutil.rmtree(index_dir, ignore_errors=True)  # deterministic rebuild
+        build_index(
+            derive_from_documents(sf_dir), index_dir, num_segments=2, batch_size=8192
+        )
+        n_docs = pq_.read_metadata(
+            os.path.join(sf_dir, "documents.parquet")
+        ).num_rows
+        n_convs = -(-n_docs // 8)
+        victims = [
+            f"conv-{c:08d}"
+            for c in range(n_convs)
+            if c % _LIFECYCLE_CONV_MOD == 3
+        ]
+        delete_conversations(index_dir, victims)
+        compact_index(index_dir)  # the purge
+        eng = _ENGINES[key] = SearchEngine(index_dir, parallel=False)
+    return eng
+
+
+def search_after_append_q(sf_dir: str) -> pa.Table:
+    """Every match over a base-then-append index; keyed by (conv_id, turn_idx)
+    because appended docs carry arrival-ordered (not global-rank) doc ids."""
+    t = _append_engine(sf_dir).match_all("scan OR merge", with_meta=True)
+    return pa.table(
+        {
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "score_r": pc.round(t["score"], 4),
+        }
+    )
+
+
+def search_after_delete_q(sf_dir: str) -> pa.Table:
+    """Every match over a delete-then-purge index; the SQL twin restricts the
+    corpus itself, so df/N/avgdl must all have switched to live stats."""
+    t = _delete_engine(sf_dir).match_all("join AND hash")
+    return pa.table({"doc_id": t["doc_id"], "score_r": pc.round(t["score"], 4)})
+
+
 def filter_all_matches_q(sf_dir: str) -> pa.Table:
     """Corpus filtering: EVERY doc matching the query (no top-k cut)."""
     t = engine_for(sf_dir).match_all("join AND hash")
@@ -692,6 +795,19 @@ def registry() -> Dict[str, tuple]:
         "filter_all_matches": (
             filter_all_matches_q,
             osql.search_sql([_tc("join"), _tc("hash")], mode="and", k=None),
+        ),
+        "search_after_append": (
+            search_after_append_q,
+            osql.search_sql(
+                [_tc("scan"), _tc("merge")], mode="or", k=None, by_turn=True
+            ),
+        ),
+        "search_after_delete": (
+            search_after_delete_q,
+            osql.search_sql(
+                [_tc("join"), _tc("hash")], mode="and", k=None,
+                transcripts_where=f"(doc_id // 8) % {_LIFECYCLE_CONV_MOD} <> 3",
+            ),
         ),
         "search_suggest": (suggest_q, _sql_suggest()),
         # hash-contract ops: md5_number_lower + mod-2^31 integer folds make the
