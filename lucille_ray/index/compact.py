@@ -21,7 +21,13 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .build import INDEX_META_FILE, MANIFEST_FILE, NORMS_TERM, _limit_worker_threads
-from .codec import POSTINGS_SCHEMA, decode_postings, encode_postings, sort_postings
+from .codec import (
+    BLOCK_SIZE,
+    POSTINGS_SCHEMA,
+    RawBlocks,
+    encode_postings,
+    sort_postings,
+)
 
 
 #: max blocks per consolidated posting row (~32k postings, a few hundred KB):
@@ -30,21 +36,6 @@ from .codec import POSTINGS_SCHEMA, decode_postings, encode_postings, sort_posti
 #: predicate pushdown then reads a bounded byte volume per term lookup instead
 #: of a whole segment's postings for one hot term
 ROW_BLOCK_CAP = 256
-
-
-def _reencode(
-    field: str, frag: list, want_pos: bool, norms, doc_base: int
-) -> list:
-    """Decode a group of piece blocks, doc-sort, and re-encode as full blocks
-    (with exact min_dl when norms are at hand)."""
-    docs, tfs, pos = decode_postings(frag, want_positions=want_pos)
-    docs, tfs, pos = sort_postings(docs, tfs, pos)
-    dls = None
-    if norms is not None and want_pos:
-        arr = norms.get(field)
-        if arr is not None and docs.size:
-            dls = arr[docs - doc_base]
-    return encode_postings(docs, tfs, pos, dls=dls)
 
 
 def _filter_deleted_run(docs, tfs, pos, deleted):
@@ -58,94 +49,27 @@ def _filter_deleted_run(docs, tfs, pos, deleted):
     return docs[keep], tfs[keep], pos
 
 
-def _merge_run(
-    field: str, term: str, blocks: list, norms, doc_base: int, out: dict,
-    run_total_tf: int, deleted=None,
-) -> None:
-    """Merge one (field, term) run of piece blocks into consolidated rows of at
-    most ROW_BLOCK_CAP blocks each, appended to the ``out`` column lists.
-
-    Blocks are self-contained (each starts with an absolute doc id), so almost
-    every block is copied VERBATIM without touching its payload bytes — an
-    LSM-style block-preserving merge. Only runs of >=2 ADJACENT undersized
-    piece-tail blocks decode, merging into full blocks so hot terms don't
-    accumulate one splinter per piece. Blocks whose doc RANGES overlap (the
-    few batches Ray assembled from tails of different doc-sorted input files)
-    are kept as-is: every reader path either doc-sorts on decode or checks
-    block ranges elementwise, exactly as it already must for the uncompacted
-    piece layout, and re-packing them cost more one-time decode volume than
-    their ~0.5% share ever costs queries.
-
-    ``run_total_tf`` (from the piece rows' metadata) is recorded on the run's
-    first output row: per-row total_tf is consumed nowhere, and this keeps the
-    per-(field, term) aggregate exact without decoding any tf stream."""
-    from .codec import BLOCK_SIZE
-
-    want_pos = term != NORMS_TERM
-    nb = len(blocks)
-    if nb == 0:
-        return
-    if deleted is not None and want_pos:
-        # purge path (tombstoned segment): every block decodes, tombstoned
-        # docs drop, and per-row df/total_tf are re-derived from what remains —
-        # the Lucene-merge moment where deletes actually reclaim space.
-        # NORMS rows are exempt: the norms array must stay dense over maxDoc.
-        docs, tfs, pos = decode_postings(blocks, want_positions=True)
-        docs, tfs, pos = sort_postings(docs, tfs, pos)
+def _reencode_span(
+    raw: RawBlocks, sel: np.ndarray, field: str, want_pos: bool, norms,
+    doc_base: int, deleted,
+) -> tuple:
+    """Decode the ``sel`` blocks of ``raw``, doc-sort (dropping tombstoned
+    docs on the purge path), and re-encode as full blocks with exact min_dl
+    when norms are at hand. Returns (block dicts, total_tf | None)."""
+    keep = np.zeros(len(raw), bool)
+    keep[sel] = True
+    docs, tfs, pos = raw.decode(want_positions=want_pos, keep=keep)
+    docs, tfs, pos = sort_postings(docs, tfs, pos)
+    if deleted is not None:
         docs, tfs, pos = _filter_deleted_run(docs, tfs, pos, deleted)
         if docs.size == 0:
-            return  # the term died with its last documents
-        dls = None
-        if norms is not None:
-            arr = norms.get(field)
-            if arr is not None:
-                dls = arr[docs - doc_base]
-        merged = encode_postings(docs, tfs, pos, dls=dls)
-        first_row = True
-        for c0 in range(0, len(merged), ROW_BLOCK_CAP):
-            chunk = merged[c0: c0 + ROW_BLOCK_CAP]
-            out["field"].append(field)
-            out["term"].append(term)
-            out["bucket"].append(int(chunk[0]["first_doc"]))
-            out["df"].append(int(sum(b["n"] for b in chunk)))
-            out["total_tf"].append(int(tfs.sum()) if first_row else 0)
-            out["blocks"].append(chunk)
-            first_row = False
-        return
-    firsts = np.fromiter((b["first_doc"] for b in blocks), np.int64, nb)
-    if nb > 1 and (np.diff(firsts) < 0).any():
-        order = np.argsort(firsts, kind="stable")
-        blocks = [blocks[i] for i in order]
-    ns = np.fromiter((b["n"] for b in blocks), np.int64, nb)
-
-    merged: list = []
-    frag_buf: list = []  # pending adjacent undersized blocks
-
-    def flush_frags():
-        if len(frag_buf) >= 2:
-            merged.extend(_reencode(field, frag_buf, want_pos, norms, doc_base))
-        else:
-            merged.extend(frag_buf)
-        frag_buf.clear()
-
-    for i in range(nb):
-        if ns[i] < BLOCK_SIZE:
-            frag_buf.append(blocks[i])
-        else:
-            flush_frags()
-            merged.append(blocks[i])
-    flush_frags()
-
-    first_row = True
-    for c0 in range(0, max(len(merged), 1), ROW_BLOCK_CAP):
-        chunk = merged[c0: c0 + ROW_BLOCK_CAP]
-        out["field"].append(field)
-        out["term"].append(term)
-        out["bucket"].append(int(chunk[0]["first_doc"]) if chunk else 0)
-        out["df"].append(int(sum(b["n"] for b in chunk)))
-        out["total_tf"].append(int(run_total_tf) if first_row else 0)
-        out["blocks"].append(chunk)
-        first_row = False
+            return [], 0  # the term died with its last documents
+    dls = None
+    if norms is not None and want_pos and docs.size:
+        arr = norms.get(field)
+        if arr is not None:
+            dls = arr[docs - doc_base]
+    return encode_postings(docs, tfs, pos, dls=dls), int(tfs.sum())
 
 
 def _merge_sorted_batch(
@@ -156,16 +80,35 @@ def _merge_sorted_batch(
     rows, one (or a few, for hot terms past ROW_BLOCK_CAP) per (field, term)
     run present in the batch.
 
+    Blocks are self-contained (each starts with an absolute doc id), so almost
+    every block is copied VERBATIM — an LSM-style block-preserving merge.
+    The verbatim path never touches payload bytes at the Python layer: the
+    batch's ``blocks`` column is viewed through :class:`RawBlocks` (numpy
+    metadata views over the flattened struct children), the output block
+    sequence is assembled as an int64 index vector, and ONE Arrow ``take``
+    gathers the surviving blocks in C. Only runs of >=2 ADJACENT undersized
+    piece-tail blocks decode + re-encode (merging splinters into full blocks),
+    as does every block of a tombstoned segment (the purge moment, where
+    deleted docs physically leave and per-row df/total_tf re-derive from what
+    remains; NORMS rows are exempt — the norms array must stay dense over
+    maxDoc). Blocks whose doc RANGES overlap (the few batches Ray assembled
+    from tails of different doc-sorted input files) are kept as-is: every
+    reader path either doc-sorts on decode or checks block ranges elementwise.
+
     Runs that straddle a batch boundary simply merge into one row per side —
     the reader concatenates a term's rows in bucket order (doc-sorting on the
     rare interleave), so partial merges are exactly as correct as full ones
     and compaction needs only ONE all-to-all (the sort) instead of the
-    groupby-shuffle + re-sort pair.
+    groupby-shuffle + re-sort pair. Each run's summed piece ``total_tf`` lands
+    on its first output row (per-row total_tf is consumed nowhere; this keeps
+    the per-(field, term) aggregate exact without decoding any tf stream).
 
     ``norms_ref`` (an ObjectRef to {field: per-doc dl array}) lets re-encoded
     blocks carry an exact per-block ``min_dl`` even though the merged block
     boundaries differ from the build-time pieces'; it is fetched zero-copy
     from the object store once per task."""
+    import pyarrow.compute as pc
+
     _limit_worker_threads()
     if batch.num_rows == 0:
         return batch
@@ -178,31 +121,141 @@ def _merge_sorted_batch(
         import ray
 
         deleted = ray.get(deleted_ref)
-    fields = batch["field"].to_pylist()
-    terms = batch["term"].to_pylist()
-    blocks_col = batch["blocks"].to_pylist()
-    ttfs = batch["total_tf"].to_pylist()
-    out: dict = {k: [] for k in ("field", "term", "bucket", "df", "total_tf", "blocks")}
-    run_f, run_t, run_blocks, run_ttf = fields[0], terms[0], [], 0
-    for f, t, b, tt in zip(fields, terms, blocks_col, ttfs):
-        if f != run_f or t != run_t:
-            _merge_run(run_f, run_t, run_blocks, norms, doc_base, out, run_ttf,
-                       deleted=deleted)
-            run_f, run_t, run_blocks, run_ttf = f, t, [], 0
-        run_blocks.extend(b)
-        run_ttf += tt
-    _merge_run(run_f, run_t, run_blocks, norms, doc_base, out, run_ttf,
-               deleted=deleted)
+
+    lists = batch.column("blocks").combine_chunks()
+    flat = lists.flatten()
+    raw = RawBlocks(flat)
+    nflat = len(raw)
+    row_nb = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    row_off = np.zeros(row_nb.size + 1, np.int64)
+    np.cumsum(row_nb, out=row_off[1:])
+
+    fcol = batch.column("field").combine_chunks()
+    tcol = batch.column("term").combine_chunks()
+    f_idx = pc.dictionary_encode(fcol).indices.to_numpy(zero_copy_only=False)
+    t_idx = pc.dictionary_encode(tcol).indices.to_numpy(zero_copy_only=False)
+    ttfs = batch.column("total_tf").to_numpy(zero_copy_only=False).astype(np.int64)
+    nrows = batch.num_rows
+    change = np.flatnonzero((np.diff(f_idx) != 0) | (np.diff(t_idx) != 0)) + 1
+    run_starts = np.concatenate([[0], change])
+    run_ends = np.concatenate([change, [nrows]])
+    run_ttf = np.add.reduceat(ttfs, run_starts)
+
+    # per run: output block sequence as indices into [flat | new frag blocks]
+    runs_out: list = []  # (field, term, seq_indices, total_tf)
+    frag_dicts: list = []  # re-encoded replacement blocks (the small minority)
+
+    for ri in range(run_starts.size):
+        rs, re_ = int(run_starts[ri]), int(run_ends[ri])
+        b0, b1 = int(row_off[rs]), int(row_off[re_])
+        nb = b1 - b0
+        if nb == 0:
+            continue
+        field = fcol[rs].as_py()
+        term = tcol[rs].as_py()
+        want_pos = term != NORMS_TERM
+        ttf_val = int(run_ttf[ri])
+        if deleted is not None and want_pos:
+            # purge path (tombstoned segment): every block re-encodes
+            new, ttf_val = _reencode_span(
+                raw, np.arange(b0, b1), field, True, norms, doc_base, deleted
+            )
+            if not new:
+                continue
+            seq = nflat + np.arange(
+                len(frag_dicts), len(frag_dicts) + len(new), dtype=np.int64
+            )
+            frag_dicts.extend(new)
+            runs_out.append((field, term, seq, ttf_val))
+            continue
+        firsts = raw.firsts[b0:b1]
+        if nb > 1 and (np.diff(firsts) < 0).any():
+            order = np.argsort(firsts, kind="stable")
+        else:
+            order = np.arange(nb, dtype=np.int64)
+        undersized = raw.ns[b0:b1][order] < BLOCK_SIZE
+        if nb == 1 or not undersized.any():
+            runs_out.append((field, term, b0 + order, ttf_val))
+            continue
+        # maximal runs of adjacent undersized blocks (in doc order) of length
+        # >=2 re-encode; everything else copies verbatim
+        d = np.diff(undersized.astype(np.int8))
+        u_starts = np.flatnonzero(d == 1) + 1
+        u_ends = np.flatnonzero(d == -1) + 1
+        if undersized[0]:
+            u_starts = np.concatenate([[0], u_starts])
+        if undersized[-1]:
+            u_ends = np.concatenate([u_ends, [nb]])
+        seq_parts: list = []
+        cursor = 0
+        for a, b in zip(u_starts, u_ends):
+            a, b = int(a), int(b)
+            if a > cursor:
+                seq_parts.append(b0 + order[cursor:a])
+            if b - a >= 2:
+                sel = np.sort(b0 + order[a:b])
+                new, _ = _reencode_span(
+                    raw, sel, field, want_pos, norms, doc_base, None
+                )
+                seq_parts.append(nflat + np.arange(
+                    len(frag_dicts), len(frag_dicts) + len(new), dtype=np.int64
+                ))
+                frag_dicts.extend(new)
+            else:
+                seq_parts.append(b0 + order[a:b])
+            cursor = b
+        if cursor < nb:
+            seq_parts.append(b0 + order[cursor:nb])
+        runs_out.append((field, term, np.concatenate(seq_parts), ttf_val))
+
+    # combined metadata for chunk-level df/bucket without decoding anything
+    if frag_dicts:
+        nfrag = len(frag_dicts)
+        ns_comb = np.concatenate([
+            raw.ns,
+            np.fromiter((b["n"] for b in frag_dicts), np.int64, nfrag),
+        ])
+        firsts_comb = np.concatenate([
+            raw.firsts,
+            np.fromiter((b["first_doc"] for b in frag_dicts), np.int64, nfrag),
+        ])
+        frag_arr = pa.array(frag_dicts, type=flat.type)
+        combined = pa.concat_arrays([flat, frag_arr])
+    else:
+        ns_comb, firsts_comb, combined = raw.ns, raw.firsts, flat
+
+    out_field: list = []
+    out_term: list = []
+    out_bucket: list = []
+    out_df: list = []
+    out_ttf: list = []
+    idx_parts: list = []
+    row_lens: list = []
+    for field, term, seq, ttf_val in runs_out:
+        for c0 in range(0, len(seq), ROW_BLOCK_CAP):
+            chunk = seq[c0: c0 + ROW_BLOCK_CAP]
+            out_field.append(field)
+            out_term.append(term)
+            out_bucket.append(int(firsts_comb[chunk[0]]))
+            out_df.append(int(ns_comb[chunk].sum()))
+            out_ttf.append(ttf_val if c0 == 0 else 0)
+            idx_parts.append(chunk)
+            row_lens.append(len(chunk))
+
+    if not idx_parts:
+        return batch.schema.empty_table()
+    taken = combined.take(pa.array(np.concatenate(idx_parts), pa.int64()))
+    offs = np.zeros(len(row_lens) + 1, np.int64)
+    np.cumsum(np.asarray(row_lens, np.int64), out=offs[1:])
+    blocks_arr = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), taken)
     return pa.table(
         {
-            "field": pa.array(out["field"], pa.string()),
-            "term": pa.array(out["term"], pa.string()),
-            "bucket": pa.array(out["bucket"], pa.int64()),
-            "df": pa.array(out["df"], pa.int64()),
-            "total_tf": pa.array(out["total_tf"], pa.int64()),
-            "blocks": pa.array(
-                out["blocks"], pa.list_(POSTINGS_SCHEMA.field("blocks").type.value_type)
-            ),
+            "field": pa.array(out_field, pa.string()),
+            "term": pa.array(out_term, pa.string()),
+            "bucket": pa.array(out_bucket, pa.int64()),
+            "df": pa.array(out_df, pa.int64()),
+            "total_tf": pa.array(out_ttf, pa.int64()),
+            "blocks": blocks_arr,
         }
     )
 
