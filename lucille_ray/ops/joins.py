@@ -79,6 +79,154 @@ def range_count_nearby(
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
 
 
+def revenue_by_nation(lineitem, orders, customer, nation_table, *, num_partitions=None):
+    """TPC-H Q5-shaped multi-way join: revenue per nation from
+    lineitem ⋈ orders ⋈ customer ⋈ nation.
+
+    The scale architecture, stage by stage:
+
+    * **Combine before every shuffle.** Each fact-side ``map_batches`` first
+      pre-aggregates within the batch (by ``l_orderkey``, then by
+      ``o_custkey``), so the hash joins and the final groupby move partial
+      rows, not the raw table.
+    * **Fact ⋈ fact is a real hash join** (``Dataset.join``, Ray's
+      partitioned shuffle join) — done twice: lineitem-partials ⋈ orders on
+      orderkey, then custkey-partials ⋈ customer. Neither side is ever
+      collected to the driver.
+    * **The 25-row nation dimension rides in the task closure** (tiny,
+      serialized once per task spec — broadcast via ``ray.put`` would be
+      overkill at this size) and resolves with a vectorized ``searchsorted``.
+    * **Money is integer-exact**: TPC-H prices/discounts are 2-decimal, so
+      ``round(price*100) * (100 - round(disc*100))`` is an exact int64 in
+      units of 1e-4; cross-partial sums ride (hi, lo) limbs like
+      :func:`.relational.pricing_summary`, matching DuckDB's HUGEINT sum
+      bit-for-bit at any row count.
+
+    Output: ``(n_name, revenue_e4, n_items)`` sorted by nation name.
+    """
+    import pyarrow as pa
+    import ray
+
+    from .relational import _combine_limbs, _split_limbs
+
+    if num_partitions is None:
+        # each hash join schedules num_partitions aggregator ACTORS (1 CPU
+        # each); two chained joins must not outnumber the cluster's CPUs or
+        # actor placement deadlocks the pipeline. On a real cluster pass the
+        # partition count for the data size explicitly.
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = max(2, min(16, cpus // 2))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ep_c = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        d_c = np.rint(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "rev": pa.array(ep_c * (100 - d_c)),
+                "n": pa.array(np.ones(len(batch), np.int64)),
+            }
+        )
+        return (
+            pl.from_arrow(t)
+            .group_by("l_orderkey")
+            .agg(pl.col("rev").sum(), pl.col("n").sum())
+            .to_arrow()
+        )
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        t = batch.select(["o_custkey", "rev", "n"])
+        return (
+            pl.from_arrow(t)
+            .group_by("o_custkey")
+            .agg(pl.col("rev").sum(), pl.col("n").sum())
+            .to_arrow()
+        )
+
+    nat = nation_table.sort_by("n_nationkey")
+    nat_keys = nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nat_names = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(nat_keys, nk)
+        t = pa.table(
+            {
+                "n_name": pa.array(nat_names[idx], pa.string()),
+                "rev": batch["rev"],
+                "n": batch["n"],
+            }
+        )
+        g = (
+            pl.from_arrow(t)
+            .group_by("n_name")
+            .agg(pl.col("rev").sum(), pl.col("n").sum())
+            .to_arrow()
+        )
+        rev = g["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi, lo = _split_limbs(rev)
+        return pa.table(
+            {"n_name": g["n_name"], "rev_hi": hi, "rev_lo": lo, "n": g["n"]}
+        )
+
+    from ray.data.aggregate import Sum
+
+    li_agg = lineitem.map_batches(li_partial, batch_format="pyarrow")
+    joined = li_agg.join(
+        orders, join_type="inner", num_partitions=num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    by_cust = joined.map_batches(cust_partial, batch_format="pyarrow")
+    j2 = by_cust.join(
+        customer, join_type="inner", num_partitions=num_partitions,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    out = (
+        j2.map_batches(nation_partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("rev_hi"), Sum("rev_lo"), Sum("n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rev = _combine_limbs(t, "rev")
+        return pa.table(
+            {
+                "n_name": t["n_name"],
+                "revenue_e4": pa.array([int(v) for v in rev], pa.int64()),
+                "n_items": pc.cast(t["sum(n)"], pa.int64()),
+            }
+        ).sort_by("n_name")
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""".strip()
+
+
 ASOF_PREV_EVENT_SQL = """
 SELECT a.event_id, a.user_id, a.ts,
        b.event_id AS prev_event_id, b.ts AS prev_ts, b.event_type AS prev_type,

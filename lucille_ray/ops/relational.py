@@ -125,6 +125,64 @@ def pricing_summary(ds):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def grouped_topk(
+    ds, k: int = 3, *, key_col: str = "user_id", val_col: str = "value",
+    id_col: str = "event_id",
+):
+    """Per-key top-k (``row_number()``-window semantics): each key's k rows
+    with the largest ``val_col``, ranked 1..k, ties broken by ascending id.
+
+    Scale shape: a per-batch COMBINER keeps at most k candidate rows per key
+    per batch (vectorized polars sort + per-group head), so the groupby
+    shuffle moves O(keys x k) rows instead of the table; the per-group finish
+    re-ranks the surviving candidates. Both stages use the exact same
+    (value DESC, id ASC) sort keys as the SQL window, so ranks are
+    deterministic even under duplicated float values.
+    """
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch.select([key_col, id_col, val_col]))
+            .sort([key_col, val_col, id_col], descending=[False, True, False])
+            .group_by(key_col, maintain_order=True)
+            .head(k)
+            .to_arrow()
+        )
+
+    def per_key(g):
+        import pandas as pd
+
+        g = g.sort_values([val_col, id_col], ascending=[False, True],
+                          kind="stable").head(k)
+        return pd.DataFrame(
+            {
+                key_col: g[key_col].to_numpy(),
+                id_col: g[id_col].to_numpy(),
+                "rk": np.arange(1, len(g) + 1, dtype=np.int64),
+                val_col: g[val_col].to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(candidates, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(per_key, batch_format="pandas")
+    )
+
+
+GROUPED_TOPK_SQL = """
+SELECT user_id, event_id, CAST(rk AS BIGINT) AS rk, value
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rk
+  FROM events)
+WHERE rk <= {k}
+""".strip()
+
+
 PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

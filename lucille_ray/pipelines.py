@@ -344,6 +344,135 @@ def _sql_range_count_nearby() -> str:
     return RANGE_COUNT_NEARBY_SQL.format(w=21_600)
 
 
+def revenue_by_nation_q(sf_dir: str):
+    """TPC-H-Q5-shaped multi-way join: two partitioned hash joins
+    (lineitem ⋈ orders, then ⋈ customer), batch-partial combiners before
+    every shuffle, the 25-row nation dim resolved in-task."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .ops.joins import revenue_by_nation
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    return revenue_by_nation(lineitem, orders, customer, nation)
+
+
+def _sql_revenue_by_nation() -> str:
+    from .ops.joins import REVENUE_BY_NATION_SQL
+
+    return REVENUE_BY_NATION_SQL
+
+
+def grouped_topk_q(sf_dir: str):
+    """Per-user top-3 events by value (row_number window semantics)."""
+    import ray.data
+
+    from .ops.relational import grouped_topk
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "value"],
+    )
+    return grouped_topk(ds, k=3)
+
+
+def _sql_grouped_topk() -> str:
+    from .ops.relational import GROUPED_TOPK_SQL
+
+    return GROUPED_TOPK_SQL.format(k=3)
+
+
+def search_facets_q(sf_dir: str) -> pa.Table:
+    """Lucene-style faceting over ALL matches of a boolean query: per facet
+    value (the indexed ``role`` field), the match count and best score.
+
+    Scale shape: the match set (doc_id, rounded score) is broadcast once via
+    ``ray.put`` (zero-copy numpy reads from local plasma in every task), the
+    transcripts stream filters against it with a vectorized ``searchsorted``
+    semi-join and pre-aggregates per batch, and the final groupby moves only
+    #facet-values x #batches rows. Match sets beyond broadcast size would
+    switch to a partitioned hash join on doc_id — same downstream stages."""
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    eng = engine_for(sf_dir)
+    m = eng.match_all("join OR hash")
+    ids = m["doc_id"].to_numpy()  # sorted by doc_id (match_all contract)
+    sc = pc.round(m["score"], 4).to_numpy()
+    ref = ray.put((ids, sc))
+
+    def facet_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        import ray as _ray
+
+        mids, msc = _ray.get(ref)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if mids.size == 0:
+            return pa.table(
+                {"role": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64()),
+                 "smax": pa.array([], pa.float64())}
+            )
+        idx = np.clip(np.searchsorted(mids, d), 0, mids.size - 1)
+        hit = mids[idx] == d
+        t = pa.table(
+            {
+                "role": batch["role"].filter(pa.array(hit)),
+                "n": pa.array(np.ones(int(hit.sum()), np.int64)),
+                "smax": pa.array(msc[idx[hit]]),
+            }
+        )
+        return (
+            pl.from_arrow(t)
+            .group_by("role")
+            .agg(pl.col("n").sum(), pl.col("smax").max())
+            .to_arrow()
+        )
+
+    out = (
+        derive_from_documents(sf_dir, keep_doc_id=True)
+        .map_batches(facet_partial, batch_format="pyarrow")
+        .groupby("role")
+        .aggregate(Sum("n"), Max("smax"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "role": t["role"],
+                "n_matches": pc.cast(t["sum(n)"], pa.int64()),
+                "score_max_r": t["max(smax)"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_search_facets() -> str:
+    body = osql.bool_query([_tc("join"), _tc("hash")], mode="or", k=None)
+    return (
+        f"WITH {osql.TRANSCRIPTS_SQL_CTE},\n{osql.field_ctes(('text',))},\n"
+        f"hits AS (\n{body}\n)\n"
+        "SELECT t.role, CAST(count(*) AS BIGINT) AS n_matches,\n"
+        "       max(h.score_r) AS score_max_r\n"
+        "FROM hits h JOIN transcripts t USING (doc_id)\n"
+        "GROUP BY t.role"
+    )
+
+
 def pricing_summary_q(sf_dir: str):
     """TPC-H-Q1-shaped relational aggregate over lineitem: predicate + column
     pruning at the read, batch-partial aggregation, tiny final groupby."""
@@ -790,6 +919,9 @@ def registry() -> Dict[str, tuple]:
         "sessionize": (sessionize_q, _sessionize_sql()),
         "tumbling_window": (tumbling_window_q, _sql_tumbling_window()),
         "pricing_summary": (pricing_summary_q, _sql_pricing_summary()),
+        "revenue_by_nation": (revenue_by_nation_q, _sql_revenue_by_nation()),
+        "grouped_topk": (grouped_topk_q, _sql_grouped_topk()),
+        "search_facets": (search_facets_q, _sql_search_facets()),
         "asof_prev_event": (asof_prev_event_q, _sql_asof_prev_event()),
         "range_count_nearby": (range_count_nearby_q, _sql_range_count_nearby()),
         "filter_all_matches": (

@@ -23,6 +23,9 @@ SUBSET = [
     "lang_id",
     "fingerprints",
     "knn_cosine",
+    "revenue_by_nation",
+    "grouped_topk",
+    "search_facets",
     "search_term",
     "search_and",
     "search_phrase",

@@ -379,3 +379,100 @@ def test_image_feature_stage(ray_session):
     f2 = again.sort_values("doc_id")["pix_mean"].to_numpy()
     assert (f1 == f2).all()  # deterministic fake decode
     assert len(np.unique(f1)) > 1  # payloads differ per doc
+
+
+def test_grouped_topk_window_semantics(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from lucille_ray.ops.relational import grouped_topk
+
+    rng = np.random.default_rng(11)
+    n = 500
+    rows = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 20, n).astype(np.int64),
+            # duplicated values force the event_id tie-break
+            "value": rng.integers(0, 15, n).astype(np.float64),
+        }
+    )
+    # tiny blocks so the per-batch combiner really runs on partial key views
+    ds = ray.data.from_pandas(rows).repartition(8)
+    got = (
+        grouped_topk(ds, k=3).to_pandas()
+        .sort_values(["user_id", "rk"]).reset_index(drop=True)
+    )
+    # reference: pandas window
+    want = rows.sort_values(
+        ["user_id", "value", "event_id"], ascending=[True, False, True],
+        kind="stable",
+    ).groupby("user_id").head(3)
+    want = want.assign(
+        rk=want.groupby("user_id").cumcount().to_numpy() + 1
+    )[["user_id", "event_id", "rk", "value"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["user_id", "event_id", "rk", "value"]].astype({"rk": "int64"}),
+        want.astype({"rk": "int64"}),
+    )
+
+
+def test_revenue_by_nation_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from lucille_ray.ops.joins import revenue_by_nation
+
+    rng = np.random.default_rng(5)
+    n_li, n_ord, n_cust = 2000, 400, 60
+    li = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(0, n_ord, n_li).astype(np.int64),
+            "l_extendedprice": np.round(rng.uniform(1, 1000, n_li), 2),
+            "l_discount": np.round(rng.uniform(0, 0.1, n_li), 2),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_ord, dtype=np.int64),
+            "o_custkey": rng.integers(0, n_cust, n_ord).astype(np.int64),
+        }
+    )
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.arange(n_cust, dtype=np.int64),
+            "c_nationkey": rng.integers(0, 7, n_cust).astype(np.int32),
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array(np.arange(7, dtype=np.int32)),
+            "n_name": pa.array([f"NATION_{i}" for i in range(7)]),
+        }
+    )
+    got = revenue_by_nation(
+        ray.data.from_pandas(li).repartition(6),
+        ray.data.from_pandas(orders).repartition(3),
+        ray.data.from_pandas(cust).repartition(2),
+        nation,
+        num_partitions=4,
+    ).to_pandas().sort_values("n_name").reset_index(drop=True)
+
+    li2 = li.assign(
+        rev=(np.rint(li.l_extendedprice * 100).astype(np.int64)
+             * (100 - np.rint(li.l_discount * 100).astype(np.int64)))
+    )
+    j = (
+        li2.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(nation.to_pandas(), left_on="c_nationkey", right_on="n_nationkey")
+    )
+    want = (
+        j.groupby("n_name", as_index=False)
+        .agg(revenue_e4=("rev", "sum"), n_items=("rev", "size"))
+        .sort_values("n_name").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"revenue_e4": "int64", "n_items": "int64"}),
+        want.astype({"revenue_e4": "int64", "n_items": "int64"}),
+    )
