@@ -1,6 +1,7 @@
 from .dedup import (  # noqa: F401
     MinHasher,
     SimHasher,
+    dedup_components,
     exact_dedup,
     minhash_dedup,
     minhash_dedup_verified,

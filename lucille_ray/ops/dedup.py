@@ -324,6 +324,121 @@ def minhash_dedup(ds, threshold: float = 0.8, **kw):
     return pairs.groupby(["a", "b"]).aggregate(Max("est_jaccard"))
 
 
+def dedup_components(pairs, *, max_iter: int = 50, num_partitions=None):
+    """Connected components over a near-dup pair graph — the canonical-doc
+    finishing step of a dedup sweep: every doc in a duplicate cluster gets the
+    cluster's minimum doc id as its ``component`` label, so "keep one per
+    cluster" is then a trivial ``doc_id == component`` filter.
+
+    Distributed ITERATIVE min-label propagation, all Dataset-native:
+
+    * ``edges`` holds both directions of every pair; ``labels`` starts as
+      (node, label=node) via one groupby over edge sources.
+    * Each round: hash-``join`` labels onto edge sources, per-batch partial
+      min combiner, ``groupby(dst).min`` for each node's best neighbor label,
+      then a join back onto ``labels`` taking the elementwise min. Labels
+      only ever decrease, so ``sum(label)`` strictly decreases until the
+      fixpoint — one tiny aggregate per round decides convergence.
+    * Rounds needed = component DIAMETER (near-dup clusters are shallow;
+      a 100 TB sweep's clusters converge in a handful of rounds). Each round
+      materializes, so lineage stays bounded.
+
+    ``pairs`` needs columns ``a``/``b``; returns ``(doc_id, component)`` for
+    every doc that appears in at least one pair.
+    """
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = max(2, min(8, cpus // 2))
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "s": pa.array(np.concatenate([a, b])),
+                "d": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "component": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["s"], "label": t["s"]})
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label"))
+        .map_batches(
+            lambda t: pa.table({"node": t["node"], "label": t["min(label)"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def min_by_dst(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t.select(["d", "label"]))
+            .group_by("d")
+            .agg(pl.col("label").min())
+            .to_arrow()
+        )
+
+    def merge_min(t: pa.Table) -> pa.Table:
+        old = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        new = t["min(label)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"node": t["node"], "label": pa.array(np.minimum(old, new))}
+        )
+
+    prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
+    for _ in range(max_iter):
+        j = edges.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("s",), right_on=("node",),
+        )
+        neigh = (
+            j.map_batches(min_by_dst, batch_format="pyarrow")
+            .groupby("d")
+            .aggregate(Min("label"))
+        )
+        # every node of the undirected edge set appears as a dst, so the
+        # inner join keeps the full label table
+        labels = (
+            labels.join(
+                neigh, join_type="inner", num_partitions=num_partitions,
+                on=("node",), right_on=("d",),
+            )
+            .map_batches(merge_min, batch_format="pyarrow")
+            .materialize()
+        )
+        cur_sum = labels.aggregate(Sum("label"))["sum(label)"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "component": t["label"]}),
+        batch_format="pyarrow",
+    )
+
+
 class _ShingleSets:
     """map_batches callable: (id, distinct sorted shingle-hash set) per doc,
     using the same P31 fold hashes as MinHasher (so the SQL twin matches)."""

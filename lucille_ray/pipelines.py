@@ -224,6 +224,33 @@ def minhash_pairs_q(sf_dir: str) -> pa.Table:
     )
 
 
+def dedup_components_q(sf_dir: str):
+    """Duplicate-cluster canonicalization: LSH near-dup pairs -> distributed
+    iterative connected components -> (doc_id, component=min id in cluster)."""
+    from .ops import dedup_components, minhash_dedup
+
+    pairs = minhash_dedup(_documents(sf_dir, ["doc_id", "text"]), threshold=0.5)
+    return dedup_components(pairs)
+
+
+def _sql_dedup_components() -> str:
+    inner = osql.minhash_pairs_sql()
+    return f"""WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT a, b FROM ({inner})
+),
+edges AS (
+  SELECT a AS s, b AS d FROM pairs UNION SELECT b AS s, a AS d FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m
+)
+SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS component
+FROM reach GROUP BY n"""
+
+
 def image_features_q(sf_dir: str):
     """Multimodal plumbing end-to-end. The fake payload is md5("img-"+doc_id)
     bytes tiled to 8x8x3, so the pixel stats have an exact SQL twin that
@@ -947,6 +974,7 @@ def registry() -> Dict[str, tuple]:
         "minhash_lsh": (minhash_q, osql.minhash_sql()),
         "minhash_dedup_pairs": (minhash_pairs_q, osql.minhash_pairs_sql()),
         "minhash_dedup_verified": (minhash_verified_q, osql.minhash_verified_sql()),
+        "dedup_components": (dedup_components_q, _sql_dedup_components()),
         "simhash": (simhash_q, osql.simhash_sql()),
         "image_features": (image_features_q, _sql_image_features()),
         "ivf_knn": (ivf_knn_q, _sql_knn()),

@@ -476,3 +476,38 @@ def test_revenue_by_nation_matches_pandas(ray_session):
         got.astype({"revenue_e4": "int64", "n_items": "int64"}),
         want.astype({"revenue_e4": "int64", "n_items": "int64"}),
     )
+
+
+def test_dedup_components_label_propagation(ray_session):
+    import ray.data
+
+    from lucille_ray.ops import dedup_components
+
+    # two chains, a triangle, and an isolated pair — components must get the
+    # min doc id even across multi-hop chains (diameter > 1)
+    pairs = pa.table(
+        {
+            "a": pa.array([1, 2, 3, 10, 20, 20, 21, 7], pa.int64()),
+            "b": pa.array([2, 3, 4, 11, 21, 22, 22, 8], pa.int64()),
+        }
+    )
+    out = (
+        dedup_components(ray.data.from_arrow(pairs))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3, 4, 7, 8, 10, 11, 20, 21, 22]
+    assert out["component"].tolist() == [1, 1, 1, 1, 7, 7, 10, 10, 20, 20, 20]
+    # canonical-doc selection: exactly one keeper per cluster
+    keep = out[out.doc_id == out.component]
+    assert keep["doc_id"].tolist() == [1, 7, 10, 20]
+
+
+def test_dedup_components_empty_pairs(ray_session):
+    import ray.data
+
+    from lucille_ray.ops import dedup_components
+
+    pairs = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    ds = dedup_components(ray.data.from_arrow(pairs))
+    assert ds.count() == 0
+    assert ds.schema().names == ["doc_id", "component"]
