@@ -224,6 +224,40 @@ def minhash_pairs_q(sf_dir: str) -> pa.Table:
     )
 
 
+def hash_sample_q(sf_dir: str):
+    """Deterministic 10% hash sample of documents (train/eval-split
+    primitive): partition- and order-independent by construction."""
+    from .ops.sampling import hash_sample
+
+    return hash_sample(
+        _documents(sf_dir, ["doc_id"]), pct=10
+    ).select_columns(["doc_id"])
+
+
+def _sql_hash_sample() -> str:
+    from .ops.sampling import hash_sample_sql
+
+    return hash_sample_sql(pct=10, columns="doc_id")
+
+
+def kmv_distinct_q(sf_dir: str):
+    """KMV distinct-count sketch: distinct users per event type."""
+    import ray.data
+
+    from .ops.sampling import kmv_distinct
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    return kmv_distinct(ds, k=64)
+
+
+def _sql_kmv_distinct() -> str:
+    from .ops.sampling import kmv_distinct_sql
+
+    return kmv_distinct_sql(k=64)
+
+
 def dedup_components_q(sf_dir: str):
     """Duplicate-cluster canonicalization: LSH near-dup pairs -> distributed
     iterative connected components -> (doc_id, component=min id in cluster)."""
@@ -975,6 +1009,8 @@ def registry() -> Dict[str, tuple]:
         "minhash_dedup_pairs": (minhash_pairs_q, osql.minhash_pairs_sql()),
         "minhash_dedup_verified": (minhash_verified_q, osql.minhash_verified_sql()),
         "dedup_components": (dedup_components_q, _sql_dedup_components()),
+        "hash_sample": (hash_sample_q, _sql_hash_sample()),
+        "kmv_distinct": (kmv_distinct_q, _sql_kmv_distinct()),
         "simhash": (simhash_q, osql.simhash_sql()),
         "image_features": (image_features_q, _sql_image_features()),
         "ivf_knn": (ivf_knn_q, _sql_knn()),

@@ -511,3 +511,60 @@ def test_dedup_components_empty_pairs(ray_session):
     ds = dedup_components(ray.data.from_arrow(pairs))
     assert ds.count() == 0
     assert ds.schema().names == ["doc_id", "component"]
+
+
+def test_hash_sample_partition_independent(ray_session):
+    import ray.data
+
+    from lucille_ray.ops.sampling import hash_sample
+
+    t = pa.table({"doc_id": pa.array(np.arange(2000, dtype=np.int64))})
+    a = hash_sample(ray.data.from_arrow(t), pct=10).to_pandas()
+    b = hash_sample(
+        ray.data.from_arrow(t).repartition(13), pct=10
+    ).to_pandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+    # ~10% with hash-uniform deviation
+    assert 120 < len(a) < 280
+
+
+def test_kmv_distinct_estimate_and_merge_independence(ray_session):
+    import ray.data
+
+    from lucille_ray.ops.sampling import kmv_distinct
+
+    rng = np.random.default_rng(3)
+    n = 20000
+    t = pa.table(
+        {
+            "event_type": pa.array(
+                np.where(rng.random(n) < 0.5, "click", "view")
+            ),
+            # 'click' ~ many distinct users, 'view' ~ fewer than k distinct
+            "user_id": pa.array(
+                np.where(
+                    rng.random(n) < 0.5,
+                    rng.integers(0, 5000, n),
+                    rng.integers(0, 40, n),
+                ).astype(np.int64)
+            ),
+        }
+    )
+    a = (
+        kmv_distinct(ray.data.from_arrow(t), k=64)
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    )
+    b = (
+        kmv_distinct(ray.data.from_arrow(t).repartition(17), k=64)
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    )
+    # sketch result independent of partitioning (lossless k-min merge)
+    assert a.equals(b)
+    df = t.to_pandas()
+    true = df.groupby("event_type")["user_id"].nunique()
+    for _, row in a.iterrows():
+        td = true[row.event_type]
+        if td < 64:
+            assert row.est_distinct_r == float(td)  # exact below k
+        else:
+            assert abs(row.est_distinct_r - td) / td < 0.5  # KMV error bound-ish
