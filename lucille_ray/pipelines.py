@@ -224,6 +224,74 @@ def minhash_pairs_q(sf_dir: str) -> pa.Table:
     )
 
 
+def search_snippets_q(sf_dir: str) -> pa.Table:
+    """Lucene-highlighter-style snippets: top-k docs for a term query, each
+    with a ±3-token window around the FIRST analyzer-token match. The engine
+    ranks; the snippet pass streams the transcripts once, touching only the
+    k matched rows (vectorized membership test per batch), and re-tokenizes
+    with the same analyzer the index used."""
+    eng = engine_for(sf_dir)
+    t = eng.search("data", k=10, with_meta=False)
+    ids = np.sort(t["doc_id"].to_numpy().astype(np.int64))
+    score_by_id = dict(
+        zip(
+            t["doc_id"].to_numpy().astype(np.int64),
+            pc.round(t["score"], 4).to_numpy(),
+        )
+    )
+    w = 3
+
+    def snip(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.clip(np.searchsorted(ids, d), 0, ids.size - 1)
+        hit = ids[idx] == d
+        out_ids, out_snips = [], []
+        for di, text in zip(d[hit], batch["text"].filter(pa.array(hit)).to_pylist()):
+            toks = tokenize(text or "")
+            p0 = toks.index("data")  # every ranked doc contains the term
+            out_ids.append(int(di))
+            out_snips.append(" ".join(toks[max(0, p0 - w): p0 + w + 1]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "snippet": pa.array(out_snips, pa.string()),
+            }
+        )
+
+    import ray
+
+    refs = (
+        derive_from_documents(sf_dir, keep_doc_id=True)
+        .map_batches(snip, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    rows = pa.concat_tables(
+        [tb for tb in ray.get(refs) if tb.num_rows]  # at most k rows survive
+    )
+    return pa.table(
+        {
+            "doc_id": rows["doc_id"],
+            "score_r": pa.array(
+                [score_by_id[int(i)] for i in rows["doc_id"].to_pylist()]
+            ),
+            "snippet": rows["snippet"],
+        }
+    )
+
+
+def _sql_search_snippets() -> str:
+    body = osql.bool_query([_tc("data")], mode="or", k=10)
+    lp = "list_position(a.arr, 'data')"
+    return (
+        f"WITH {osql.TRANSCRIPTS_SQL_CTE},\n{osql.field_ctes(('text',))},\n"
+        f"hits AS (\n{body}\n)\n"
+        "SELECT h.doc_id, h.score_r,\n"
+        f"       array_to_string(a.arr[greatest(1, {lp} - 3):"
+        f"least(len(a.arr), {lp} + 3)], ' ') AS snippet\n"
+        "FROM hits h JOIN arr_text a USING (doc_id)"
+    )
+
+
 def hash_sample_q(sf_dir: str):
     """Deterministic 10% hash sample of documents (train/eval-split
     primitive): partition- and order-independent by construction."""
@@ -1010,6 +1078,7 @@ def registry() -> Dict[str, tuple]:
         "minhash_dedup_verified": (minhash_verified_q, osql.minhash_verified_sql()),
         "dedup_components": (dedup_components_q, _sql_dedup_components()),
         "hash_sample": (hash_sample_q, _sql_hash_sample()),
+        "search_snippets": (search_snippets_q, _sql_search_snippets()),
         "kmv_distinct": (kmv_distinct_q, _sql_kmv_distinct()),
         "simhash": (simhash_q, osql.simhash_sql()),
         "image_features": (image_features_q, _sql_image_features()),

@@ -26,6 +26,7 @@ SUBSET = [
     "revenue_by_nation",
     "grouped_topk",
     "search_facets",
+    "search_snippets",
     "search_term",
     "search_and",
     "search_phrase",
