@@ -209,3 +209,45 @@ def read_transcripts(path: str):
     import ray.data
 
     return ray.data.read_parquet(path)
+
+
+def _normalize_batch(batch: pa.Table) -> pa.Table:
+    """Cast a loosely-typed batch (JSON/CSV inference) to TRANSCRIPT_SCHEMA.
+
+    Arrow's cast covers every inference gap in one kernel each: int64 ->
+    int32 turn indexes, ISO-8601 strings or any-unit timestamps ->
+    timestamp[us], integer epoch-microseconds -> timestamp[us], and null ->
+    typed-null for sparse columns (e.g. ``tool``)."""
+    cols = []
+    for f in TRANSCRIPT_SCHEMA:
+        if f.name not in batch.column_names:
+            cols.append(pa.nulls(batch.num_rows, f.type))
+            continue
+        col = batch[f.name]
+        if col.type != f.type:
+            col = pc.cast(col, f.type)
+        cols.append(col)
+    return pa.table(dict(zip(TRANSCRIPT_SCHEMA.names, cols)))
+
+
+def read_transcripts_jsonl(path: str):
+    """Transcripts from JSON-Lines files (one turn object per line) — the
+    common raw-ingest format. ``ts`` may be an ISO-8601 string, an epoch-µs
+    integer, or an inferred timestamp; everything normalizes to
+    TRANSCRIPT_SCHEMA in a single vectorized cast per batch, so downstream
+    stages (index build, ops) are source-agnostic."""
+    import ray.data
+
+    return ray.data.read_json(path).map_batches(
+        _normalize_batch, batch_format="pyarrow"
+    )
+
+
+def read_transcripts_csv(path: str):
+    """Transcripts from CSV files (header row required), normalized to
+    TRANSCRIPT_SCHEMA like :func:`read_transcripts_jsonl`."""
+    import ray.data
+
+    return ray.data.read_csv(path).map_batches(
+        _normalize_batch, batch_format="pyarrow"
+    )

@@ -92,3 +92,55 @@ def test_postings_min_dl_exact_per_block(n):
         assert b["min_dl"] == int(dls[at: at + b["n"]].min())
         at += b["n"]
     assert all(b["min_dl"] == 0 for b in encode_postings(doc_ids, tfs, None))
+
+
+def test_jsonl_and_csv_sources_normalize_to_schema(ray_session, tmp_path):
+    """JSONL and CSV ingest produce the identical table parquet does, and an
+    index built from the JSONL source answers queries identically."""
+    import csv as csv_mod
+    import json
+
+    import pandas as pd
+
+    from lucille_ray import transcripts as T
+    from lucille_ray.index.build import build_index
+    from lucille_ray.search import SearchEngine
+
+    pq_dir = str(tmp_path / "pq")
+    T.generate(2000, pq_dir, num_files=2)
+    base = T.read_transcripts(pq_dir).to_pandas()
+
+    # JSONL: ts as ISO string; sparse null tools stay null
+    jdir = tmp_path / "jsonl"; jdir.mkdir()
+    with open(jdir / "part0.jsonl", "w") as f:
+        for r in base.to_dict("records"):
+            r["ts"] = pd.Timestamp(r["ts"]).isoformat()
+            f.write(json.dumps(r) + "\n")
+    got_j = T.read_transcripts_jsonl(str(jdir)).to_pandas()
+
+    # CSV
+    cdir = tmp_path / "csv"; cdir.mkdir()
+    with open(cdir / "part0.csv", "w", newline="") as f:
+        wr = csv_mod.writer(f)
+        wr.writerow(base.columns.tolist())
+        for r in base.itertuples(index=False):
+            wr.writerow(list(r))
+    got_c = T.read_transcripts_csv(str(cdir)).to_pandas()
+
+    key = ["conv_id", "turn_idx"]
+    canon = lambda df: df.sort_values(key, kind="stable").reset_index(drop=True)
+    for got in (got_j, got_c):
+        a, b = canon(base), canon(got)
+        assert list(a.columns) == list(b.columns)
+        pd.testing.assert_frame_equal(a[["conv_id", "turn_idx", "role", "text", "ts"]],
+                                      b[["conv_id", "turn_idx", "role", "text", "ts"]])
+
+    # end-to-end: index built from the JSONL source ranks identically
+    idx_a = str(tmp_path / "idx_pq"); idx_b = str(tmp_path / "idx_jsonl")
+    build_index(T.read_transcripts(pq_dir), idx_a, num_segments=2, batch_size=1024)
+    build_index(T.read_transcripts_jsonl(str(jdir)), idx_b, num_segments=2, batch_size=1024)
+    ea, eb = SearchEngine(idx_a), SearchEngine(idx_b)
+    for q in ("data", "data AND query", '"lazy evaluation"', "deploy*"):
+        ta = ea.search(q, k=10, with_meta=True)
+        tb = eb.search(q, k=10, with_meta=True)
+        assert ta.equals(tb)
