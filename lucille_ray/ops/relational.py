@@ -197,3 +197,42 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """.strip()
+
+
+def group_quantiles(ds, qs=(0.5, 0.95), *, group_col: str = "event_type",
+                    val_col: str = "value"):
+    """Exact per-group discrete quantiles (DuckDB ``quantile_disc``
+    semantics: the sorted element at index ``ceil(q*n) - 1``).
+
+    Scale shape: ``groupby(group).map_groups`` with one vectorized sort per
+    group — bounded by the group's row count, the same partitioning contract
+    as sessionize/joins. (A group too big for one worker would switch to a
+    distributed sort + rank select, or a mergeable KLL sketch for approximate
+    quantiles; the event-type groups here are nowhere near that.)"""
+    import math
+
+    import pandas as pd
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[val_col].to_numpy())
+        n = v.size
+        row = {
+            group_col: [g[group_col].iloc[0]],
+            "n": np.array([n], np.int64),
+        }
+        for q in qs:
+            row[f"q{int(round(q * 100))}"] = np.array(
+                [v[min(n - 1, math.ceil(q * n) - 1)]]
+            )
+        return pd.DataFrame(row)
+
+    return ds.groupby(group_col).map_groups(per_key, batch_format="pandas")
+
+
+GROUP_QUANTILES_SQL = """
+SELECT {group_col}, CAST(count(*) AS BIGINT) AS n,
+       quantile_disc({val_col}, 0.5) AS q50,
+       quantile_disc({val_col}, 0.95) AS q95
+FROM {table}
+GROUP BY {group_col}
+""".strip()

@@ -163,3 +163,54 @@ def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def top_terms(ds, k: int = 20, *, text_col: str = "text"):
+    """Global term-frequency top-k — the wordcount scale pattern: per-batch
+    token-count PARTIALS (one row per distinct term per batch, via Arrow
+    tokenize + a polars explode-groupby) feed a ``groupby(term)`` Sum, so the
+    shuffle moves vocabulary-bounded partial rows, never tokens; the final
+    sort+limit runs over the (tiny) per-term aggregate with deterministic
+    (count DESC, term ASC) tie-breaks."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = arrow_tokenize(batch[text_col])
+        flat = toks.flatten()
+        if len(flat) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        return (
+            pl.from_arrow(pa.table({"term": flat}))
+            .group_by("term")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n"))
+    )
+    return (
+        agg.map_batches(
+            lambda t: pa.table(
+                {"term": t["term"], "n": pc.cast(t["sum(n)"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["n", "term"], descending=[True, False])
+        .limit(k)
+    )
+
+
+TOP_TERMS_SQL = """
+SELECT term, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest({tokens_expr}) AS term FROM {table})
+GROUP BY term
+ORDER BY n DESC, term ASC
+LIMIT {k}
+""".strip()

@@ -224,6 +224,41 @@ def minhash_pairs_q(sf_dir: str) -> pa.Table:
     )
 
 
+def top_terms_q(sf_dir: str):
+    """Global term-frequency top-20 over documents (wordcount pattern)."""
+    from .ops.textstats import top_terms
+
+    return top_terms(_documents(sf_dir, ["text"]), k=20)
+
+
+def _sql_top_terms() -> str:
+    from .ops.textstats import TOP_TERMS_SQL
+
+    return TOP_TERMS_SQL.format(
+        tokens_expr=osql.tokens_expr("text"), table="documents", k=20
+    )
+
+
+def group_quantiles_q(sf_dir: str):
+    """Exact per-event-type p50/p95 of value (quantile_disc semantics)."""
+    import ray.data
+
+    from .ops.relational import group_quantiles
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    return group_quantiles(ds, qs=(0.5, 0.95))
+
+
+def _sql_group_quantiles() -> str:
+    from .ops.relational import GROUP_QUANTILES_SQL
+
+    return GROUP_QUANTILES_SQL.format(
+        group_col="event_type", val_col="value", table="events"
+    )
+
+
 def search_snippets_q(sf_dir: str) -> pa.Table:
     """Lucene-highlighter-style snippets: top-k docs for a term query, each
     with a ±3-token window around the FIRST analyzer-token match. The engine
@@ -1079,6 +1114,8 @@ def registry() -> Dict[str, tuple]:
         "dedup_components": (dedup_components_q, _sql_dedup_components()),
         "hash_sample": (hash_sample_q, _sql_hash_sample()),
         "search_snippets": (search_snippets_q, _sql_search_snippets()),
+        "top_terms": (top_terms_q, _sql_top_terms()),
+        "group_quantiles": (group_quantiles_q, _sql_group_quantiles()),
         "kmv_distinct": (kmv_distinct_q, _sql_kmv_distinct()),
         "simhash": (simhash_q, osql.simhash_sql()),
         "image_features": (image_features_q, _sql_image_features()),

@@ -568,3 +568,46 @@ def test_kmv_distinct_estimate_and_merge_independence(ray_session):
             assert row.est_distinct_r == float(td)  # exact below k
         else:
             assert abs(row.est_distinct_r - td) / td < 0.5  # KMV error bound-ish
+
+
+def test_top_terms_wordcount(ray_session):
+    from collections import Counter
+
+    import ray.data
+
+    from lucille_ray.analysis import tokenize
+    from lucille_ray.ops.textstats import top_terms
+
+    texts = ["the cat sat on the mat", "the dog ate the cat food", "a b a b a"]
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)})).repartition(3)
+    got = top_terms(ds, k=5).to_pandas()
+    cnt = Counter(t for x in texts for t in tokenize(x))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(got["term"], got["n"])) == [(t, n) for t, n in want]
+
+
+def test_group_quantiles_disc_semantics(ray_session):
+    import math
+
+    import ray.data
+
+    rng = np.random.default_rng(9)
+    from lucille_ray.ops.relational import group_quantiles
+
+    t = pa.table(
+        {
+            "event_type": pa.array(np.where(rng.random(500) < 0.5, "a", "b")),
+            "value": pa.array(rng.normal(size=500)),
+        }
+    )
+    got = (
+        group_quantiles(ray.data.from_arrow(t).repartition(7))
+        .to_pandas().set_index("event_type")
+    )
+    df = t.to_pandas()
+    for g, sub in df.groupby("event_type"):
+        v = np.sort(sub["value"].to_numpy())
+        n = v.size
+        assert got.loc[g, "n"] == n
+        assert got.loc[g, "q50"] == v[min(n - 1, math.ceil(0.5 * n) - 1)]
+        assert got.loc[g, "q95"] == v[min(n - 1, math.ceil(0.95 * n) - 1)]
