@@ -224,6 +224,20 @@ def minhash_pairs_q(sf_dir: str) -> pa.Table:
     )
 
 
+def pii_scrub_q(sf_dir: str):
+    """PII scrub over documents with deterministic planted PII (disclosed
+    fake — the shared corpus has none): RE2 count + redact per batch."""
+    from .ops.pii import attach_fake_pii, pii_scrub
+
+    return pii_scrub(attach_fake_pii(_documents(sf_dir, ["doc_id", "text"])))
+
+
+def _sql_pii_scrub() -> str:
+    from .ops.pii import pii_scrub_sql
+
+    return pii_scrub_sql()
+
+
 def top_terms_q(sf_dir: str):
     """Global term-frequency top-20 over documents (wordcount pattern)."""
     from .ops.textstats import top_terms
@@ -1115,6 +1129,7 @@ def registry() -> Dict[str, tuple]:
         "hash_sample": (hash_sample_q, _sql_hash_sample()),
         "search_snippets": (search_snippets_q, _sql_search_snippets()),
         "top_terms": (top_terms_q, _sql_top_terms()),
+        "pii_scrub": (pii_scrub_q, _sql_pii_scrub()),
         "group_quantiles": (group_quantiles_q, _sql_group_quantiles()),
         "kmv_distinct": (kmv_distinct_q, _sql_kmv_distinct()),
         "simhash": (simhash_q, osql.simhash_sql()),

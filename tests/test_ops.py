@@ -611,3 +611,38 @@ def test_group_quantiles_disc_semantics(ray_session):
         assert got.loc[g, "n"] == n
         assert got.loc[g, "q50"] == v[min(n - 1, math.ceil(0.5 * n) - 1)]
         assert got.loc[g, "q95"] == v[min(n - 1, math.ceil(0.95 * n) - 1)]
+
+
+def test_pii_scrub_detects_and_redacts(ray_session):
+    import ray.data
+
+    from lucille_ray.ops.pii import attach_fake_pii, pii_scrub
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "reach me at alice@corp.io or 192.168.1.77 thanks",
+                    "no pii here",
+                    "two mails: a@b.co c@d.org",
+                    None,
+                ]
+            ),
+        }
+    )
+    out = (
+        pii_scrub(ray.data.from_arrow(t))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["n_emails"].tolist() == [1, 0, 2, 0]
+    assert out["n_ips"].tolist() == [1, 0, 0, 0]
+    assert out.loc[0, "redacted"] == "reach me at [EMAIL] or [IP] thanks"
+    assert out.loc[2, "redacted"] == "two mails: [EMAIL] [EMAIL]"
+    # deterministic planted PII: every 3rd doc gains exactly one email + one ip
+    planted = (
+        pii_scrub(attach_fake_pii(ray.data.from_arrow(t)))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert planted["n_emails"].tolist() == [2, 0, 2, 1]
+    assert planted["n_ips"].tolist() == [2, 0, 0, 1]
