@@ -346,12 +346,12 @@ def dedup_components(pairs, *, max_iter: int = 50, num_partitions=None):
     ``pairs`` needs columns ``a``/``b``; returns ``(doc_id, component)`` for
     every doc that appears in at least one pair.
     """
-    import ray
     from ray.data.aggregate import Min, Sum
 
     if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        num_partitions = max(2, min(8, cpus // 2))
+        from .joins import auto_num_partitions
+
+        num_partitions = auto_num_partitions(max_parts=8)
 
     def both_dirs(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -79,6 +79,17 @@ def range_count_nearby(
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
 
 
+def auto_num_partitions(max_parts: int = 16) -> int:
+    """CPU-aware hash-join partition count: each ``Dataset.join`` schedules
+    ``num_partitions`` one-CPU aggregator ACTORS, so chained joins sized past
+    the cluster's CPUs deadlock actor placement. On a real cluster pass the
+    data-sized partition count explicitly."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(2, min(max_parts, cpus // 2))
+
+
 def revenue_by_nation(lineitem, orders, customer, nation_table, *, num_partitions=None):
     """TPC-H Q5-shaped multi-way join: revenue per nation from
     lineitem ⋈ orders ⋈ customer ⋈ nation.
@@ -105,17 +116,11 @@ def revenue_by_nation(lineitem, orders, customer, nation_table, *, num_partition
     Output: ``(n_name, revenue_e4, n_items)`` sorted by nation name.
     """
     import pyarrow as pa
-    import ray
 
     from .relational import _combine_limbs, _split_limbs
 
     if num_partitions is None:
-        # each hash join schedules num_partitions aggregator ACTORS (1 CPU
-        # each); two chained joins must not outnumber the cluster's CPUs or
-        # actor placement deadlocks the pipeline. On a real cluster pass the
-        # partition count for the data size explicitly.
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        num_partitions = max(2, min(16, cpus // 2))
+        num_partitions = auto_num_partitions()
 
     def li_partial(batch: pa.Table) -> pa.Table:
         import polars as pl

@@ -214,3 +214,117 @@ GROUP BY term
 ORDER BY n DESC, term ASC
 LIMIT {k}
 """.strip()
+
+
+def tfidf_keywords(ds, k: int = 3, *, text_col: str = "text",
+                   id_col: str = "doc_id", num_partitions=None):
+    """Per-document TF-IDF keyword extraction — the canonical TWO-PASS
+    corpus-statistics op: pass 1 derives per-(doc, term) tf partials and the
+    vocabulary-bounded df table, pass 2 scores ``tf * ln(1 + N/df)`` and
+    keeps each doc's top-k terms.
+
+    Scale shape: tf rows come straight from one explode-groupby per batch
+    (each doc lives in one row, so batch-local tf IS global tf); df is one
+    vocabulary-bounded groupby; tf ⋈ df is a partitioned hash join (the df
+    side may exceed broadcast size at web scale); the final per-doc top-k
+    reuses :func:`.relational.grouped_topk`'s candidate-combiner pattern
+    with deterministic (score DESC, term ASC) ties.
+    """
+    import polars as pl
+
+    from ray.data.aggregate import Count
+
+    from .joins import auto_num_partitions
+    from .relational import grouped_topk
+
+    if num_partitions is None:
+        num_partitions = auto_num_partitions()
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        toks = arrow_tokenize(batch[text_col])
+        n_per = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = toks.flatten()
+        if len(flat) == 0:
+            return pa.table(
+                {id_col: pa.array([], batch[id_col].type),
+                 "term": pa.array([], pa.string()),
+                 "tf": pa.array([], pa.int64())}
+            )
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        g = (
+            pl.from_arrow(
+                pa.table(
+                    {id_col: np.repeat(ids, n_per), "term": flat}
+                )
+            )
+            .group_by([id_col, "term"])
+            .agg(pl.len().cast(pl.Int64).alias("tf"))
+            .to_arrow()
+        )
+        # polars emits large_string; Acero's hash join requires both sides'
+        # key types to match the groupby side's plain string
+        return g.cast(
+            pa.schema([(id_col, g.schema.field(id_col).type),
+                       ("term", pa.string()), ("tf", pa.int64())])
+        )
+
+    n_docs = ds.count()
+    tf = ds.map_batches(tf_partial, batch_format="pyarrow")
+    df = (
+        tf.groupby("term")
+        .aggregate(Count())
+        .map_batches(
+            lambda t: pa.table(
+                {"term": t["term"], "df": pc.cast(t["count()"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    joined = tf.join(
+        df, join_type="inner", num_partitions=num_partitions, on=("term",)
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        tfv = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = tfv * np.log(1.0 + float(n_docs) / dfv)
+        return pa.table(
+            {id_col: batch[id_col], "term": batch["term"], "s": pa.array(s)}
+        )
+
+    top = grouped_topk(
+        joined.map_batches(score, batch_format="pyarrow"),
+        k=k, key_col=id_col, val_col="s", id_col="term",
+    )
+    return top.map_batches(
+        lambda t: pa.table(
+            {
+                id_col: t[id_col],
+                "term": t["term"],
+                "rk": t["rk"],
+                "score_r": pc.round(t["s"], 4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+TFIDF_KEYWORDS_SQL = """
+WITH tok AS (SELECT {id_col}, unnest({tokens_expr}) AS term FROM {table}),
+tf AS (SELECT {id_col}, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT t.{id_col}, t.term,
+         t.tf * ln(1.0 + (SELECT count(*) FROM {table}) * 1.0 / d.df) AS s
+  FROM tf t JOIN df d USING (term)
+),
+r AS (
+  SELECT {id_col}, term, s,
+         row_number() OVER (
+           PARTITION BY {id_col} ORDER BY s DESC, term ASC) AS rk
+  FROM sc)
+SELECT {id_col}, term, CAST(rk AS BIGINT) AS rk, round(s, 4) AS score_r
+FROM r WHERE rk <= {k}
+""".strip()

@@ -224,6 +224,22 @@ def minhash_pairs_q(sf_dir: str) -> pa.Table:
     )
 
 
+def tfidf_keywords_q(sf_dir: str):
+    """Per-doc top-3 TF-IDF keywords over documents (two-pass corpus stats)."""
+    from .ops.textstats import tfidf_keywords
+
+    return tfidf_keywords(_documents(sf_dir, ["doc_id", "text"]), k=3)
+
+
+def _sql_tfidf_keywords() -> str:
+    from .ops.textstats import TFIDF_KEYWORDS_SQL
+
+    return TFIDF_KEYWORDS_SQL.format(
+        id_col="doc_id", tokens_expr=osql.tokens_expr("text"),
+        table="documents", k=3,
+    )
+
+
 def pii_scrub_q(sf_dir: str):
     """PII scrub over documents with deterministic planted PII (disclosed
     fake — the shared corpus has none): RE2 count + redact per batch."""
@@ -1130,6 +1146,7 @@ def registry() -> Dict[str, tuple]:
         "search_snippets": (search_snippets_q, _sql_search_snippets()),
         "top_terms": (top_terms_q, _sql_top_terms()),
         "pii_scrub": (pii_scrub_q, _sql_pii_scrub()),
+        "tfidf_keywords": (tfidf_keywords_q, _sql_tfidf_keywords()),
         "group_quantiles": (group_quantiles_q, _sql_group_quantiles()),
         "kmv_distinct": (kmv_distinct_q, _sql_kmv_distinct()),
         "simhash": (simhash_q, osql.simhash_sql()),

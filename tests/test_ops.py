@@ -646,3 +646,42 @@ def test_pii_scrub_detects_and_redacts(ray_session):
     )
     assert planted["n_emails"].tolist() == [2, 0, 2, 1]
     assert planted["n_ips"].tolist() == [2, 0, 0, 1]
+
+
+def test_tfidf_keywords_vs_numpy(ray_session):
+    import math
+
+    import ray.data
+
+    from lucille_ray.analysis import tokenize
+    from lucille_ray.ops.textstats import tfidf_keywords
+
+    texts = [
+        "apple banana apple cherry",
+        "banana cherry cherry date",
+        "apple unique banana",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(texts)})
+    )
+    got = (
+        tfidf_keywords(ds, k=2).to_pandas()
+        .sort_values(["doc_id", "rk"]).reset_index(drop=True)
+    )
+    # reference: plain python
+    toks = [tokenize(t) for t in texts]
+    from collections import Counter
+    dfc = Counter(t for ts in toks for t in set(ts))
+    n = len(texts)
+    for doc_id, ts in enumerate(toks):
+        tfc = Counter(ts)
+        scored = sorted(
+            ((tf * math.log(1.0 + n / dfc[t]), t) for t, tf in tfc.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        sub = got[got.doc_id == doc_id].reset_index(drop=True)
+        assert sub["term"].tolist() == [t for _, t in scored]
+        assert sub["rk"].tolist() == [1, 2]
+        for i, (s, _) in enumerate(scored):
+            assert abs(sub.loc[i, "score_r"] - round(s, 4)) < 1e-9
