@@ -328,3 +328,176 @@ r AS (
 SELECT {id_col}, term, CAST(rk AS BIGINT) AS rk, round(s, 4) AS score_r
 FROM r WHERE rk <= {k}
 """.strip()
+
+
+def pmi_collocations(ds, k: int = 20, min_count: int = 5, *,
+                     text_col: str = "text", num_partitions=None):
+    """Collocation mining: top-k within-document bigrams by pointwise mutual
+    information, ``PMI = ln(p(w1,w2) / (p(w1) p(w2)))``.
+
+    Scale shape: ONE tokenize pass emits unigram and bigram count PARTIALS
+    into a single stream (unigrams ride with a ``w2 = ''`` sentinel — the
+    analyzer never produces an empty token), so one vocabulary-bounded
+    ``groupby`` sums both; a ``min_count`` support filter runs BEFORE the
+    expensive part (rare pairs dominate the pair vocabulary); two partitioned
+    hash joins attach c(w1) and c(w2); the PMI float expression is composed
+    in the exact operation order of the SQL twin, so scores are
+    bit-reproducible. Ties break on (w1, w2) ascending.
+    """
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    from .joins import auto_num_partitions
+
+    if num_partitions is None:
+        num_partitions = auto_num_partitions()
+
+    count_schema = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()), ("c", pa.int64())]
+    )
+
+    def counts_partial(batch: pa.Table) -> pa.Table:
+        toks = arrow_tokenize(batch[text_col])
+        n_per = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = toks.flatten()
+        if len(flat) == 0:
+            return count_schema.empty_table()
+        ends = np.cumsum(n_per)
+        starts = ends - n_per
+        keep_left = np.ones(len(flat), bool)
+        keep_left[ends[n_per > 0] - 1] = False
+        keep_right = np.ones(len(flat), bool)
+        keep_right[starts[n_per > 0]] = False
+        uni = pa.table(
+            {
+                "w1": flat,
+                "w2": pa.nulls(len(flat), pa.string()).fill_null(""),
+            }
+        )
+        bi = pa.table(
+            {
+                "w1": flat.filter(pa.array(keep_left)),
+                "w2": flat.filter(pa.array(keep_right)),
+            }
+        )
+        g = (
+            pl.from_arrow(pa.concat_tables([uni, bi]))
+            .group_by(["w1", "w2"]).agg(pl.len().cast(pl.Int64).alias("c"))
+            .to_arrow()
+        )
+        return g.cast(count_schema)
+
+    counts = (
+        ds.map_batches(counts_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c"))
+        .map_batches(
+            lambda t: pa.table(
+                {"w1": t["w1"], "w2": t["w2"],
+                 "c": pc.cast(t["sum(c)"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # consumed three times below
+    )
+    is_uni = lambda t: t.filter(pc.equal(t["w2"], ""))  # noqa: E731
+    is_bi = lambda t: t.filter(pc.not_equal(t["w2"], ""))  # noqa: E731
+    uni = counts.map_batches(
+        lambda t: (lambda u: pa.table({"w": u["w1"], "c": u["c"]}))(is_uni(t)),
+        batch_format="pyarrow",
+    )
+    total_t = 0
+    total_b = 0
+    for tb in (counts.map_batches(
+        lambda t: (lambda u, b: pa.table(
+            {"t": pa.array([int(pc.sum(u["c"]).as_py() or 0)], pa.int64()),
+             "b": pa.array([int(pc.sum(b["c"]).as_py() or 0)], pa.int64())}
+        ))(is_uni(t), is_bi(t)),
+        batch_format="pyarrow",
+    ).to_arrow_refs()):
+        import ray
+
+        tt = ray.get(tb)
+        total_t += int(pc.sum(tt["t"]).as_py() or 0)
+        total_b += int(pc.sum(tt["b"]).as_py() or 0)
+    bi = counts.map_batches(
+        lambda t: (lambda b: pa.table(
+            {"w1": b["w1"], "w2": b["w2"], "c12": b["c"]}
+        ))(is_bi(t).filter(pc.greater_equal(is_bi(t)["c"], min_count))),
+        batch_format="pyarrow",
+    )
+    u1 = uni.map_batches(
+        lambda t: pa.table({"w1": t["w"], "c1": t["c"]}), batch_format="pyarrow"
+    )
+    u2 = uni.map_batches(
+        lambda t: pa.table({"w2": t["w"], "c2": t["c"]}), batch_format="pyarrow"
+    )
+    joined = bi.join(
+        u1, join_type="inner", num_partitions=num_partitions, on=("w1",)
+    ).join(u2, join_type="inner", num_partitions=num_partitions, on=("w2",))
+
+    def score(t: pa.Table) -> pa.Table:
+        c12 = t["c12"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = t["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = t["c2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # EXACT operation order of the SQL twin: ((((c12*T)/B)*T)/c1)/c2
+        x = c12 * float(total_t)
+        x = x / float(total_b)
+        x = x * float(total_t)
+        x = x / c1
+        x = x / c2
+        return pa.table(
+            {
+                "w1": t["w1"], "w2": t["w2"], "c12": t["c12"],
+                "pmi": pa.array(np.log(x)),
+            }
+        )
+
+    top = (
+        joined.map_batches(score, batch_format="pyarrow")
+        .sort(["pmi", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )
+    return top.map_batches(
+        lambda t: pa.table(
+            {"w1": t["w1"], "w2": t["w2"], "c12": t["c12"],
+             "pmi_r": pc.round(t["pmi"], 4)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+PMI_COLLOCATIONS_SQL = """
+WITH arr AS (SELECT {id_col}, {tokens_expr} AS a FROM {table}),
+tok AS (
+  SELECT {id_col}, unnest(a) AS term, generate_subscripts(a, 1) AS pos
+  FROM arr
+),
+big AS (
+  SELECT term AS w1,
+         lead(term) OVER (PARTITION BY {id_col} ORDER BY pos) AS w2
+  FROM tok
+),
+bi AS (
+  SELECT w1, w2, count(*) AS c12 FROM big WHERE w2 IS NOT NULL GROUP BY 1, 2
+),
+uni AS (SELECT term AS w, count(*) AS c FROM tok GROUP BY 1),
+tot AS (
+  SELECT (SELECT sum(c) FROM uni) AS t,
+         (SELECT sum(c12) FROM bi) AS b
+),
+sc AS (
+  SELECT bi.w1, bi.w2, bi.c12,
+         ln(bi.c12 * ((SELECT t FROM tot) * 1.0) / (SELECT b FROM tot)
+            * (SELECT t FROM tot) / u1.c / u2.c) AS pmi
+  FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w
+  WHERE bi.c12 >= {min_count}
+)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, round(pmi, 4) AS pmi_r
+FROM sc
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT {k}
+""".strip()

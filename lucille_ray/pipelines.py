@@ -224,6 +224,22 @@ def minhash_pairs_q(sf_dir: str) -> pa.Table:
     )
 
 
+def pmi_collocations_q(sf_dir: str):
+    """Top-20 within-doc bigram collocations by PMI (support >= 5)."""
+    from .ops.textstats import pmi_collocations
+
+    return pmi_collocations(_documents(sf_dir, ["doc_id", "text"]), k=20)
+
+
+def _sql_pmi_collocations() -> str:
+    from .ops.textstats import PMI_COLLOCATIONS_SQL
+
+    return PMI_COLLOCATIONS_SQL.format(
+        id_col="doc_id", tokens_expr=osql.tokens_expr("text"),
+        table="documents", k=20, min_count=5,
+    )
+
+
 def tfidf_keywords_q(sf_dir: str):
     """Per-doc top-3 TF-IDF keywords over documents (two-pass corpus stats)."""
     from .ops.textstats import tfidf_keywords
@@ -1147,6 +1163,7 @@ def registry() -> Dict[str, tuple]:
         "top_terms": (top_terms_q, _sql_top_terms()),
         "pii_scrub": (pii_scrub_q, _sql_pii_scrub()),
         "tfidf_keywords": (tfidf_keywords_q, _sql_tfidf_keywords()),
+        "pmi_collocations": (pmi_collocations_q, _sql_pmi_collocations()),
         "group_quantiles": (group_quantiles_q, _sql_group_quantiles()),
         "kmv_distinct": (kmv_distinct_q, _sql_kmv_distinct()),
         "simhash": (simhash_q, osql.simhash_sql()),

@@ -685,3 +685,27 @@ def test_tfidf_keywords_vs_numpy(ray_session):
         assert sub["rk"].tolist() == [1, 2]
         for i, (s, _) in enumerate(scored):
             assert abs(sub.loc[i, "score_r"] - round(s, 4)) < 1e-9
+
+
+def test_pmi_collocations_planted_pair(ray_session):
+    import ray.data
+
+    from lucille_ray.ops.textstats import pmi_collocations
+
+    rng = np.random.default_rng(4)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(60):
+        words = list(rng.choice(vocab, size=12))
+        # plant a strong collocation: 'alpha beta' in most docs
+        if i % 2 == 0:
+            words[3:3] = ["alpha", "beta"]
+        texts.append(" ".join(words))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                  "text": pa.array(texts)})
+    ).repartition(4)
+    got = pmi_collocations(ds, k=5, min_count=5).to_pandas()
+    assert (got.w1 == "alpha").any() and (got.iloc[0].w1, got.iloc[0].w2) == ("alpha", "beta")
+    assert got.iloc[0].c12 == 30
+    assert (got.pmi_r.to_numpy()[:-1] >= got.pmi_r.to_numpy()[1:]).all()
