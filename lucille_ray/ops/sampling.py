@@ -138,3 +138,38 @@ SELECT {group_col},
          AS est_distinct_r
 FROM r WHERE rn <= {k}
 GROUP BY {group_col}"""
+
+
+def stratified_sample(ds, rates: dict, default_pct: int = 5, *,
+                      group_col: str = "event_type", key_col: str = "event_id",
+                      mod: int = 100):
+    """Per-stratum deterministic hash sampling — downsample over-represented
+    strata while keeping rare ones (the class-rebalancing primitive): a row
+    survives iff ``hash(key) % mod < rates.get(its group, default_pct)``.
+    Same partition-independence guarantee as :func:`hash_sample`; the rate
+    lookup is vectorized over the batch."""
+
+    def filt(batch: pa.Table) -> pa.Table:
+        keys = [str(v) for v in batch[key_col].to_pylist()]
+        hv = _md5_low_mod(keys, mod=None) % np.uint64(mod)
+        groups = batch[group_col].to_pylist()
+        pct = np.fromiter(
+            (rates.get(g, default_pct) for g in groups), np.uint64, len(groups)
+        )
+        return batch.filter(pa.array(hv < pct))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def stratified_sample_sql(rates: dict, default_pct: int = 5, *,
+                          table: str = "events", group_col: str = "event_type",
+                          key_col: str = "event_id", mod: int = 100,
+                          columns: str = "*") -> str:
+    whens = " ".join(
+        f"WHEN '{g}' THEN {p}" for g, p in sorted(rates.items())
+    )
+    return (
+        f"SELECT {columns} FROM {table} "
+        f"WHERE md5_number_lower(CAST({key_col} AS VARCHAR)) % {mod} "
+        f"< CASE {group_col} {whens} ELSE {default_pct} END"
+    )

@@ -389,6 +389,31 @@ def _sql_hash_sample() -> str:
     return hash_sample_sql(pct=10, columns="doc_id")
 
 
+_STRATA_RATES = {"error": 80, "purchase": 50, "view": 10}
+
+
+def stratified_sample_q(sf_dir: str):
+    """Class-rebalancing sample of events: keep most errors/purchases,
+    downsample views/clicks — deterministic per event_id hash."""
+    import ray.data
+
+    from .ops.sampling import stratified_sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type"],
+    )
+    return stratified_sample(ds, _STRATA_RATES, default_pct=5)
+
+
+def _sql_stratified_sample() -> str:
+    from .ops.sampling import stratified_sample_sql
+
+    return stratified_sample_sql(
+        _STRATA_RATES, default_pct=5, columns="event_id, event_type"
+    )
+
+
 def kmv_distinct_q(sf_dir: str):
     """KMV distinct-count sketch: distinct users per event type."""
     import ray.data
@@ -1166,6 +1191,7 @@ def registry() -> Dict[str, tuple]:
         "pmi_collocations": (pmi_collocations_q, _sql_pmi_collocations()),
         "group_quantiles": (group_quantiles_q, _sql_group_quantiles()),
         "kmv_distinct": (kmv_distinct_q, _sql_kmv_distinct()),
+        "stratified_sample": (stratified_sample_q, _sql_stratified_sample()),
         "simhash": (simhash_q, osql.simhash_sql()),
         "image_features": (image_features_q, _sql_image_features()),
         "ivf_knn": (ivf_knn_q, _sql_knn()),

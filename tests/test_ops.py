@@ -709,3 +709,30 @@ def test_pmi_collocations_planted_pair(ray_session):
     assert (got.w1 == "alpha").any() and (got.iloc[0].w1, got.iloc[0].w2) == ("alpha", "beta")
     assert got.iloc[0].c12 == 30
     assert (got.pmi_r.to_numpy()[:-1] >= got.pmi_r.to_numpy()[1:]).all()
+
+
+def test_stratified_sample_rates_and_determinism(ray_session):
+    import ray.data
+
+    from lucille_ray.ops.sampling import stratified_sample
+
+    n = 6000
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "event_type": pa.array(
+                np.tile(["rare", "common", "common"], n // 3)
+            ),
+        }
+    )
+    rates = {"rare": 90, "common": 10}
+    a = stratified_sample(
+        ray.data.from_arrow(t), rates
+    ).to_pandas()
+    b = stratified_sample(
+        ray.data.from_arrow(t).repartition(11), rates
+    ).to_pandas()
+    assert sorted(a.event_id) == sorted(b.event_id)
+    by = a.groupby("event_type").size()
+    assert 0.8 < by["rare"] / (n // 3) < 1.0      # ~90% kept
+    assert 0.05 < by["common"] / (2 * n // 3) < 0.15  # ~10% kept
