@@ -441,10 +441,11 @@ def dedup_components_q(sf_dir: str):
     return dedup_components(pairs)
 
 
-def _sql_dedup_components() -> str:
-    inner = osql.minhash_pairs_sql()
+def _components_sql(inner_pairs_sql: str) -> str:
+    """Recursive-CTE transitive closure computing min-reachable-id components
+    over any (a, b) pair subquery."""
     return f"""WITH RECURSIVE pairs AS MATERIALIZED (
-  SELECT a, b FROM ({inner})
+  SELECT a, b FROM ({inner_pairs_sql})
 ),
 edges AS (
   SELECT a AS s, b AS d FROM pairs UNION SELECT b AS s, a AS d FROM pairs
@@ -457,6 +458,30 @@ reach(n, m) AS (
 )
 SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS component
 FROM reach GROUP BY n"""
+
+
+def _sql_dedup_components() -> str:
+    return _components_sql(osql.minhash_pairs_sql())
+
+
+def embedding_dup_components_q(sf_dir: str):
+    """Embedding-cosine near-dup CLUSTERS: exact pair sweep -> the same
+    distributed connected-components canonicalization the LSH path uses."""
+    import ray.data
+
+    from .ops import dedup_components, embedding_near_dups
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    pairs = embedding_near_dups(ds, threshold=0.3)
+    return dedup_components(
+        ray.data.from_arrow(pairs.select(["a", "b"]))
+    )
+
+
+def _sql_embedding_dup_components() -> str:
+    return _components_sql(_sql_embedding_near_dups())
 
 
 def image_features_q(sf_dir: str):
@@ -1183,6 +1208,9 @@ def registry() -> Dict[str, tuple]:
         "minhash_dedup_pairs": (minhash_pairs_q, osql.minhash_pairs_sql()),
         "minhash_dedup_verified": (minhash_verified_q, osql.minhash_verified_sql()),
         "dedup_components": (dedup_components_q, _sql_dedup_components()),
+        "embedding_dup_components": (
+            embedding_dup_components_q, _sql_embedding_dup_components(),
+        ),
         "hash_sample": (hash_sample_q, _sql_hash_sample()),
         "search_snippets": (search_snippets_q, _sql_search_snippets()),
         "top_terms": (top_terms_q, _sql_top_terms()),
