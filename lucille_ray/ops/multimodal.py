@@ -94,3 +94,88 @@ def image_features(ds, *, batch_size: int = 64, concurrency=(1, 4)):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+AUDIO_SCHEMA_FIELDS = [
+    ("audio", pa.binary()),
+    ("audio_format", pa.string()),
+    ("sample_rate", pa.int32()),
+    ("n_samples", pa.int32()),
+]
+
+
+def attach_fake_audio(ds, id_col: str = "doc_id", n_samples: int = 64,
+                      sample_rate: int = 16000):
+    """Add a deterministic opaque binary 'audio' column (md5-expanded bytes as
+    16-bit PCM) with typed metadata — the audio twin of
+    :func:`attach_fake_images`."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        payloads = []
+        for i in ids:
+            seed = hashlib.md5(f"aud-{i}".encode()).digest()
+            reps = (n_samples * 2) // len(seed) + 1
+            payloads.append((seed * reps)[: n_samples * 2])
+        n = len(ids)
+        return (
+            batch.append_column("audio", pa.array(payloads, pa.binary()))
+            .append_column("audio_format", pa.array(["pcm-s16le"] * n))
+            .append_column(
+                "sample_rate", pa.array([sample_rate] * n, pa.int32())
+            )
+            .append_column("n_samples", pa.array([n_samples] * n, pa.int32()))
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class FakeAudioCodec:
+    """DETERMINISTIC FAKE decode kernel (no audio libs in this container).
+
+    A real deployment replaces ``decode`` with e.g. soundfile/ffmpeg; the
+    interface — bytes in, int16 sample array out — and everything around it
+    stays identical.
+    """
+
+    def decode(self, payload: bytes, n_samples: int) -> np.ndarray:
+        arr = np.frombuffer(payload, dtype="<i2")
+        if arr.size < n_samples:
+            raise ValueError("short audio payload")
+        return arr[:n_samples]
+
+
+class AudioFeatureStage:
+    """Actor-pool map_batches stage for audio: codec loaded once per actor,
+    per-batch vectorized loudness features (RMS, peak, duration)."""
+
+    def __init__(self, codec: Optional[FakeAudioCodec] = None):
+        self.codec = codec or FakeAudioCodec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["audio"].to_pylist()
+        counts = batch["n_samples"].to_pylist()
+        rates = batch["sample_rate"].to_pylist()
+        rms, peak, dur = [], [], []
+        for p, n, sr in zip(payloads, counts, rates):
+            x = self.codec.decode(p, n).astype(np.float64)
+            rms.append(float(np.sqrt(np.mean(x * x))))
+            peak.append(int(np.abs(x).max()))
+            dur.append(float(n) / float(sr))
+        out = batch.drop_columns(["audio"])
+        return (
+            out.append_column("rms", pa.array(rms, pa.float64()))
+            .append_column("peak", pa.array(peak, pa.int64()))
+            .append_column("duration_s", pa.array(dur, pa.float64()))
+        )
+
+
+def audio_features(ds, *, batch_size: int = 64, concurrency=(1, 4)):
+    """Audio twin of :func:`image_features`: payload column -> actor-pool
+    loudness feature extraction."""
+    return ds.map_batches(
+        AudioFeatureStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -536,6 +536,63 @@ SELECT doc_id,
 FROM agg"""
 
 
+def audio_features_q(sf_dir: str):
+    """Multimodal audio plumbing end-to-end (disclosed fake PCM payloads)."""
+    from .ops.multimodal import attach_fake_audio, audio_features
+
+    ds = audio_features(
+        attach_fake_audio(_documents(sf_dir, ["doc_id"]), n_samples=64)
+    )
+
+    def rounded(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "sample_rate": t["sample_rate"],
+                "n_samples": t["n_samples"],
+                "rms_r": pc.round(t["rms"], 4),
+                "peak": t["peak"],
+                "duration_s": t["duration_s"],
+            }
+        )
+
+    return ds.map_batches(rounded, batch_format="pyarrow")
+
+
+def _sql_audio_features() -> str:
+    """Exact twin of FakeAudioCodec stats: the 64-sample payload tiles the 8
+    int16 values of the md5 digest exactly 8x, so RMS/peak over 64 samples
+    equal RMS/peak over the 8 digest samples. Sample i is little-endian
+    bytes (2i, 2i+1), sign-extended."""
+    return """WITH h AS (
+  SELECT doc_id,
+         md5_number_upper('aud-' || CAST(doc_id AS VARCHAR)) AS hu,
+         md5_number_lower('aud-' || CAST(doc_id AS VARCHAR)) AS hl
+  FROM documents
+),
+samp AS (
+  SELECT doc_id,
+         CASE WHEN ((CASE WHEN js.j < 4 THEN (hu >> (16 * js.j)) & 65535
+                          ELSE (hl >> (16 * (js.j - 4))) & 65535 END)) >= 32768
+              THEN ((CASE WHEN js.j < 4 THEN (hu >> (16 * js.j)) & 65535
+                          ELSE (hl >> (16 * (js.j - 4))) & 65535 END)) - 65536
+              ELSE ((CASE WHEN js.j < 4 THEN (hu >> (16 * js.j)) & 65535
+                          ELSE (hl >> (16 * (js.j - 4))) & 65535 END)) END AS v
+  FROM h CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js
+),
+agg AS (
+  SELECT doc_id, CAST(sum(v * v) AS DOUBLE) AS s2, max(abs(v)) AS pk
+  FROM samp GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST(64 AS INT) AS n_samples,
+       round(sqrt(s2 / 8.0), 4) AS rms_r,
+       CAST(pk AS BIGINT) AS peak,
+       64 / 16000.0 AS duration_s
+FROM agg"""
+
+
 def embedding_near_dups_q(sf_dir: str) -> pa.Table:
     """Embedding-cosine near-dup pairs — SQL-checkable via list_cosine_similarity."""
     import ray.data
@@ -1222,6 +1279,7 @@ def registry() -> Dict[str, tuple]:
         "stratified_sample": (stratified_sample_q, _sql_stratified_sample()),
         "simhash": (simhash_q, osql.simhash_sql()),
         "image_features": (image_features_q, _sql_image_features()),
+        "audio_features": (audio_features_q, _sql_audio_features()),
         "ivf_knn": (ivf_knn_q, _sql_knn()),
     }
     for name, (qs, sql) in SEARCH_QUERIES.items():

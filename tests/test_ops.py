@@ -736,3 +736,21 @@ def test_stratified_sample_rates_and_determinism(ray_session):
     by = a.groupby("event_type").size()
     assert 0.8 < by["rare"] / (n // 3) < 1.0      # ~90% kept
     assert 0.05 < by["common"] / (2 * n // 3) < 0.15  # ~10% kept
+
+
+def test_audio_feature_stage(ray_session):
+    from lucille_ray.ops.multimodal import attach_fake_audio, audio_features
+
+    ds = _docs_ds(["x"] * 12).select_columns(["doc_id"])
+    feats = audio_features(
+        attach_fake_audio(ds, n_samples=64), batch_size=4
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert set(feats.columns) >= {"doc_id", "rms", "peak", "duration_s"}
+    assert len(feats) == 12
+    assert (feats["duration_s"] == 64 / 16000.0).all()
+    assert (feats["peak"] <= 32768).all() and (feats["peak"] > 0).all()
+    again = audio_features(
+        attach_fake_audio(ds, n_samples=64), batch_size=4
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (feats["rms"].to_numpy() == again["rms"].to_numpy()).all()
+    assert len(np.unique(feats["rms"])) > 1  # payloads differ per doc
