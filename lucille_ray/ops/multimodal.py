@@ -179,3 +179,87 @@ def audio_features(ds, *, batch_size: int = 64, concurrency=(1, 4)):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+VIDEO_SCHEMA_FIELDS = [
+    ("video", pa.binary()),
+    ("video_format", pa.string()),
+    ("n_frames", pa.int32()),
+    ("frame_width", pa.int32()),
+    ("frame_height", pa.int32()),
+]
+
+
+def attach_fake_video(ds, id_col: str = "doc_id", n_frames: int = 8,
+                      side: int = 8):
+    """Add a deterministic opaque binary 'video' column: ``n_frames`` raw RGB
+    frames, frame f of doc i being md5("vid-{i}-{f}") tiled — so every frame
+    is distinct and independently reconstructable."""
+
+    frame_bytes = side * side * 3
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        payloads = []
+        for i in ids:
+            frames = []
+            for f in range(n_frames):
+                seed = hashlib.md5(f"vid-{i}-{f}".encode()).digest()
+                reps = frame_bytes // len(seed) + 1
+                frames.append((seed * reps)[:frame_bytes])
+            payloads.append(b"".join(frames))
+        n = len(ids)
+        return (
+            batch.append_column("video", pa.array(payloads, pa.binary()))
+            .append_column("video_format", pa.array(["raw-rgb-frames"] * n))
+            .append_column("n_frames", pa.array([n_frames] * n, pa.int32()))
+            .append_column("frame_width", pa.array([side] * n, pa.int32()))
+            .append_column("frame_height", pa.array([side] * n, pa.int32()))
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class VideoFrameSampleStage:
+    """Actor-pool map_batches stage: sample every ``stride``-th frame of each
+    video payload and emit one ROW PER SAMPLED FRAME (flat-map expansion)
+    with its mean pixel value — the decode/frame-sample shape a real
+    ffmpeg-backed stage would keep identical."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, frames_out, means_out = [], [], []
+        ids = batch["doc_id"].to_pylist()
+        payloads = batch["video"].to_pylist()
+        nfs = batch["n_frames"].to_pylist()
+        ws = batch["frame_width"].to_pylist()
+        hs = batch["frame_height"].to_pylist()
+        for i, p, nf, w, h in zip(ids, payloads, nfs, ws, hs):
+            fb = w * h * 3
+            arr = np.frombuffer(p, dtype=np.uint8)
+            for f in range(0, nf, self.stride):
+                frame = arr[f * fb: (f + 1) * fb]
+                ids_out.append(i)
+                frames_out.append(f)
+                means_out.append(float(frame.astype(np.float64).mean()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "frame_idx": pa.array(frames_out, pa.int64()),
+                "frame_mean": pa.array(means_out, pa.float64()),
+            }
+        )
+
+
+def video_frame_sample(ds, *, stride: int = 2, batch_size: int = 32,
+                       concurrency=(1, 4)):
+    """Frame-sampling pipeline: video payloads -> one row per sampled frame."""
+    return ds.map_batches(
+        VideoFrameSampleStage,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -593,6 +593,50 @@ SELECT doc_id,
 FROM agg"""
 
 
+def video_frames_q(sf_dir: str):
+    """Multimodal video plumbing: frame-sample every 2nd of 8 fake frames,
+    one output row per sampled frame with its mean pixel value."""
+    from .ops.multimodal import attach_fake_video, video_frame_sample
+
+    ds = video_frame_sample(
+        attach_fake_video(_documents(sf_dir, ["doc_id"]), n_frames=8, side=8),
+        stride=2,
+    )
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "frame_idx": t["frame_idx"],
+                "frame_mean_r": pc.round(t["frame_mean"], 4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_video_frames() -> str:
+    """Twin of VideoFrameSampleStage over the fake frames: frame f of doc i
+    tiles md5('vid-{i}-{f}') into 192 bytes (12 x 16), so the frame mean
+    equals the digest-byte mean; sampled frames are 0, 2, 4, 6."""
+    return """WITH fr AS (
+  SELECT doc_id, fs.f AS frame_idx,
+         md5_number_upper('vid-' || CAST(doc_id AS VARCHAR) || '-'
+                          || CAST(fs.f AS VARCHAR)) AS hu,
+         md5_number_lower('vid-' || CAST(doc_id AS VARCHAR) || '-'
+                          || CAST(fs.f AS VARCHAR)) AS hl
+  FROM documents CROSS JOIN (SELECT unnest([0, 2, 4, 6]) AS f) fs
+),
+bytes AS (
+  SELECT doc_id, frame_idx,
+         CASE WHEN js.j < 8 THEN (hu >> (8 * js.j)) & 255
+              ELSE (hl >> (8 * (js.j - 8))) & 255 END AS v
+  FROM fr CROSS JOIN (SELECT unnest(range(0, 16)) AS j) js
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       round(CAST(sum(v) AS DOUBLE) / 16.0, 4) AS frame_mean_r
+FROM bytes GROUP BY doc_id, frame_idx"""
+
+
 def embedding_near_dups_q(sf_dir: str) -> pa.Table:
     """Embedding-cosine near-dup pairs — SQL-checkable via list_cosine_similarity."""
     import ray.data
@@ -1280,6 +1324,7 @@ def registry() -> Dict[str, tuple]:
         "simhash": (simhash_q, osql.simhash_sql()),
         "image_features": (image_features_q, _sql_image_features()),
         "audio_features": (audio_features_q, _sql_audio_features()),
+        "video_frames": (video_frames_q, _sql_video_frames()),
         "ivf_knn": (ivf_knn_q, _sql_knn()),
     }
     for name, (qs, sql) in SEARCH_QUERIES.items():

@@ -754,3 +754,18 @@ def test_audio_feature_stage(ray_session):
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert (feats["rms"].to_numpy() == again["rms"].to_numpy()).all()
     assert len(np.unique(feats["rms"])) > 1  # payloads differ per doc
+
+
+def test_video_frame_sample(ray_session):
+    from lucille_ray.ops.multimodal import attach_fake_video, video_frame_sample
+
+    ds = _docs_ds(["x"] * 6).select_columns(["doc_id"])
+    out = (
+        video_frame_sample(attach_fake_video(ds, n_frames=8, side=8), stride=2)
+        .to_pandas().sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+    )
+    assert len(out) == 6 * 4  # every 2nd of 8 frames
+    assert sorted(out.frame_idx.unique()) == [0, 2, 4, 6]
+    # frames within one doc are distinct (per-frame seeds)
+    one = out[out.doc_id == 0]
+    assert len(np.unique(one.frame_mean)) > 1
