@@ -263,3 +263,53 @@ def video_frame_sample(ds, *, stride: int = 2, batch_size: int = 32,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ImageResizeStage:
+    """Actor-pool resize stage — REAL kernel (nearest-neighbor over raw RGB
+    needs only numpy, no codec): payload in, resized payload out, metadata
+    updated. Demonstrates the payload-transform (not feature-extract) shape:
+    output batches still carry binary columns, so downstream stages chain."""
+
+    def __init__(self, out_side: int):
+        self.out_side = out_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = self.out_side
+        payloads = batch["image"].to_pylist()
+        ws = batch["image_width"].to_pylist()
+        hs = batch["image_height"].to_pylist()
+        out = []
+        for p, w, h in zip(payloads, ws, hs):
+            img = np.frombuffer(p, dtype=np.uint8)[: w * h * 3].reshape(h, w, 3)
+            yi = (np.arange(s) * h) // s
+            xi = (np.arange(s) * w) // s
+            out.append(img[yi][:, xi].tobytes())
+        n = len(out)
+        names = batch.column_names
+        return (
+            batch.set_column(
+                names.index("image"), "image", pa.array(out, pa.binary())
+            )
+            .set_column(
+                names.index("image_width"), "image_width",
+                pa.array([s] * n, pa.int32()),
+            )
+            .set_column(
+                names.index("image_height"), "image_height",
+                pa.array([s] * n, pa.int32()),
+            )
+        )
+
+
+def resize_images(ds, out_side: int, *, batch_size: int = 64,
+                  concurrency=(1, 4)):
+    """Resize every image payload to ``out_side`` x ``out_side`` (nearest
+    neighbor); chains with :func:`image_features`."""
+    return ds.map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs={"out_side": out_side},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

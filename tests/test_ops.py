@@ -769,3 +769,24 @@ def test_video_frame_sample(ray_session):
     # frames within one doc are distinct (per-frame seeds)
     one = out[out.doc_id == 0]
     assert len(np.unique(one.frame_mean)) > 1
+
+
+def test_image_resize_stage_chains_with_features(ray_session):
+    from lucille_ray.ops.multimodal import resize_images
+
+    ds = _docs_ds(["x"] * 8).select_columns(["doc_id"])
+    small = image_features(
+        resize_images(attach_fake_images(ds, side=16), out_side=8),
+        batch_size=4,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (small["image_width"] == 8).all()
+    assert len(small) == 8
+    # nearest-neighbor reference for doc 0
+    import hashlib as _h
+
+    seed = _h.md5(b"img-0").digest()
+    reps = (16 * 16 * 3) // len(seed) + 1
+    img = np.frombuffer((seed * reps)[: 16 * 16 * 3], np.uint8).reshape(16, 16, 3)
+    yi = (np.arange(8) * 16) // 8
+    ref = img[yi][:, yi]
+    assert abs(small.loc[0, "pix_mean"] - ref.astype(np.float64).mean()) < 1e-12
