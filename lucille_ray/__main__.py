@@ -168,20 +168,9 @@ def main(argv=None) -> int:
                 _print_hits(t)
             eng.shutdown()
         elif args.cmd == "stats":
-            from lucille_ray.index.segment import load_segments
+            from lucille_ray.index.report import build_report
 
-            with open(f"{args.index}/index_meta.json") as f:
-                meta = json.load(f)
-            segs = load_segments(args.index)
-            print(json.dumps({
-                "meta": meta,
-                "segments": [
-                    {"dir": s.seg_dir.rsplit("/", 1)[-1], "docs": s.doc_count,
-                     "doc_base": s.doc_base,
-                     "compacted": bool(s.manifest.get("compacted"))}
-                    for s in segs
-                ],
-            }, indent=1))
+            print(json.dumps(build_report(args.index), indent=1))
     except (FileNotFoundError, ValueError, ParseError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2

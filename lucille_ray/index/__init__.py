@@ -10,4 +10,5 @@ from .codec import (  # noqa: F401
     encode_postings,
     encode_varints,
 )
+from .report import build_report  # noqa: F401
 from .segment import SegmentReader, load_segments  # noqa: F401

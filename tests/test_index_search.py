@@ -665,3 +665,25 @@ def test_resume_skips_complete_segments_and_rebuilds_missing(built, oracle):
     engine = SearchEngine(index_dir, parallel=False)
     _compare(engine, oracle, "data AND query")
     _compare(engine, oracle, '"lazy evaluation"')
+
+
+def test_build_report_structure(ray_session, tmp_path):
+    from lucille_ray import transcripts as T
+    from lucille_ray.index import build_index, compact_index, build_report
+
+    data_dir = str(tmp_path / "rep_data")
+    T.generate(3000, data_dir, num_files=2)
+    idx = str(tmp_path / "rep_idx")
+    build_index(T.read_transcripts(data_dir), idx, num_segments=2,
+                batch_size=1024)
+    r = build_report(idx)
+    assert r["totals"]["segments"] == 2
+    assert r["totals"]["docs"] == 3000
+    assert r["totals"]["index_bytes"] > 0
+    assert r["build_metrics"]["total_sec"] > 0
+    assert all(s["status"] == "complete" for s in r["segments"])
+    assert not any(s["compacted"] for s in r["segments"])
+    compact_index(idx)
+    r2 = build_report(idx)
+    assert all(s["compacted"] for s in r2["segments"])
+    assert r2["totals"]["posting_rows"] <= r["totals"]["posting_rows"]
