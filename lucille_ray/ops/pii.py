@@ -26,6 +26,20 @@ def attach_fake_pii(ds, *, text_col: str = "text", id_col: str = "doc_id",
                     every: int = 3):
     """Append a deterministic contact line to every ``every``-th doc:
     ``' contact u<id>@ex.com ip 10.0.<id%256>.<id%100>'``."""
+    import functools
+
+    return ds.map_batches(
+        functools.partial(
+            attach_fake_pii_batch, text_col=text_col, id_col=id_col, every=every
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def attach_fake_pii_batch(batch: pa.Table, *, text_col: str = "text",
+                          id_col: str = "doc_id", every: int = 3) -> pa.Table:
+    """Batch-level form of :func:`attach_fake_pii` (composable inside fused
+    stages)."""
 
     def attach(batch: pa.Table) -> pa.Table:
         ids = batch[id_col]
@@ -47,7 +61,7 @@ def attach_fake_pii(ds, *, text_col: str = "text", id_col: str = "doc_id",
             batch.column_names.index(text_col), text_col, new
         )
 
-    return ds.map_batches(attach, batch_format="pyarrow")
+    return attach(batch)
 
 
 def pii_scrub(ds, *, text_col: str = "text", id_col: str = "doc_id"):

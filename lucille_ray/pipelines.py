@@ -256,6 +256,65 @@ def _sql_tfidf_keywords() -> str:
     )
 
 
+def curation_pipeline_q(sf_dir: str):
+    """The composed end-to-end curation job: lang filter + quality filter +
+    PII redaction fused into one pass, dedup keep-one (the single exchange),
+    deterministic 50% sample. Planted fake PII gives the scrub real signal."""
+    import functools
+
+    from .ops.curation import curate
+    from .ops.pii import attach_fake_pii_batch
+
+    return curate(
+        _documents(sf_dir, ["doc_id", "text"]),
+        min_quality=2, sample_pct=50,
+        attach_pii=functools.partial(attach_fake_pii_batch, every=3),
+    )
+
+
+def _sql_curation_pipeline() -> str:
+    from .ops.pii import EMAIL_RE, IPV4_RE
+    from .ops.textstats import EN_MARKERS_SQL
+
+    te = osql.tokens_expr("text")
+    email = EMAIL_RE.replace("'", "''")
+    ipv4 = IPV4_RE.replace("'", "''")
+    attach = (
+        "CASE WHEN doc_id % 3 = 0 THEN text || ' contact u' || doc_id "
+        "|| '@ex.com ip 10.0.' || (doc_id % 256) || '.' || (doc_id % 100) "
+        "ELSE text END"
+    )
+    return f"""WITH arr AS (SELECT doc_id, text, {te} AS arr FROM documents),
+feat AS (
+  SELECT doc_id, coalesce(text, '') AS text, len(arr) AS n_tokens,
+         len(list_distinct(arr)) AS nu,
+         len(list_filter(arr, x -> x IN {EN_MARKERS_SQL})) AS hits
+  FROM arr),
+q AS (
+  SELECT doc_id, text, n_tokens, hits,
+         CAST(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END
+            + CASE WHEN n_tokens >= 5 THEN 1 ELSE 0 END
+            + CASE WHEN 2 * nu >= n_tokens THEN 1 ELSE 0 END AS BIGINT)
+           AS quality_bucket
+  FROM feat),
+kept AS (
+  SELECT * FROM q WHERE 100 * hits > 8 * n_tokens AND quality_bucket >= 2),
+pii AS (
+  SELECT doc_id, n_tokens, quality_bucket, {attach} AS t FROM kept),
+red AS (
+  SELECT doc_id, n_tokens, quality_bucket,
+         regexp_replace(regexp_replace(t, '{email}', '[EMAIL]', 'g'),
+                        '{ipv4}', '[IP]', 'g') AS redacted
+  FROM pii),
+ded AS (
+  SELECT *, min(doc_id) OVER (PARTITION BY md5(redacted)) AS keep_id
+  FROM red)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality_bucket, redacted
+FROM ded
+WHERE doc_id = keep_id
+  AND md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 50"""
+
+
 def pii_scrub_q(sf_dir: str):
     """PII scrub over documents with deterministic planted PII (disclosed
     fake — the shared corpus has none): RE2 count + redact per batch."""
@@ -1316,6 +1375,7 @@ def registry() -> Dict[str, tuple]:
         "search_snippets": (search_snippets_q, _sql_search_snippets()),
         "top_terms": (top_terms_q, _sql_top_terms()),
         "pii_scrub": (pii_scrub_q, _sql_pii_scrub()),
+        "curation_pipeline": (curation_pipeline_q, _sql_curation_pipeline()),
         "tfidf_keywords": (tfidf_keywords_q, _sql_tfidf_keywords()),
         "pmi_collocations": (pmi_collocations_q, _sql_pmi_collocations()),
         "group_quantiles": (group_quantiles_q, _sql_group_quantiles()),

@@ -790,3 +790,36 @@ def test_image_resize_stage_chains_with_features(ray_session):
     yi = (np.arange(8) * 16) // 8
     ref = img[yi][:, yi]
     assert abs(small.loc[0, "pix_mean"] - ref.astype(np.float64).mean()) < 1e-12
+
+
+def test_curation_pipeline_stage_semantics(ray_session):
+    import ray.data
+
+    from lucille_ray.ops.curation import curate
+
+    texts = [
+        # 0: good en doc, will get PII attached (doc_id 0 % 3 == 0)
+        "the quick brown fox and the lazy dog of the hill went to a market "
+        "with the other animals of the town and the story goes on",
+        # 1: duplicate of 2's text -> dedup keeps min id
+        "the cat and the dog of a house to the yard and the bird of the tree "
+        "flew to a branch of the oak and the sun was up",
+        # 2: same as 1
+        "the cat and the dog of a house to the yard and the bird of the tree "
+        "flew to a branch of the oak and the sun was up",
+        # 3: too short -> quality filter drops
+        "the a of",
+        # 4: no english markers -> lang filter drops
+        "uno dos tres cuatro cinco seis siete ocho nueve diez once doce "
+        "trece catorce quince uno dos tres cuatro cinco seis siete",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts)})
+    )
+    out = curate(ds, min_quality=2, sample_pct=100).to_pandas()
+    kept = set(out.doc_id)
+    assert 3 not in kept and 4 not in kept  # filters
+    assert 2 not in kept                    # dedup keeps 1, drops 2
+    assert {0, 1} <= kept
+    assert (out.quality_bucket >= 2).all()
