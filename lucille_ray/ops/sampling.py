@@ -173,3 +173,144 @@ def stratified_sample_sql(rates: dict, default_pct: int = 5, *,
         f"WHERE md5_number_lower(CAST({key_col} AS VARCHAR)) % {mod} "
         f"< CASE {group_col} {whens} ELSE {default_pct} END"
     )
+
+
+def cms_frequencies(ds, query_terms, *, width: int = 1024, depth: int = 4,
+                    seed: int = 17, text_col: str = "text"):
+    """Count-Min-Sketch term-frequency estimation — the second mergeable
+    sketch (with :func:`kmv_distinct`): estimate any term's corpus frequency
+    from a fixed ``depth x width`` table of counters instead of the full
+    (unbounded) vocabulary.
+
+    Scale shape: each batch tokenizes once and emits at most ``depth*width``
+    partial rows (row, cell, count) regardless of batch vocabulary; the
+    single ``groupby(row, cell)`` Sum merges sketches EXACTLY (CMS is a
+    linear sketch — cell-wise addition IS the merge); the driver then reads
+    only the ``depth * len(query_terms)`` cells the queries hash to. Every
+    hash is the repo's exact integer contract (``(a_r * u(t) + b_r) % P31 %
+    width`` over ``u(t) = md5_number_lower(t) % P31``), so estimates are
+    bit-reproducible in SQL. CMS guarantees est >= true count; overestimates
+    are bounded by collisions with other terms' mass.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .dedup import minhash_params
+
+    a, b = minhash_params(depth, seed)
+    P = np.int64(P31)
+    W = np.int64(width)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..analysis import arrow_tokenize
+
+        toks = arrow_tokenize(batch[text_col]).flatten()
+        if len(toks) == 0:
+            return pa.table(
+                {"r": pa.array([], pa.int64()), "cell": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(
+            np.asarray(toks.to_pylist(), dtype=object), return_counts=True
+        )
+        u = _md5_low_mod(list(uniq), mod=P31).astype(np.int64)
+        rows_out, cells_out, c_out = [], [], []
+        for r in range(depth):
+            cell = ((a[r] * u) + b[r]) % P % W
+            # several tokens may share a cell within the batch: pre-sum
+            order = np.argsort(cell, kind="stable")
+            cs, idx = np.unique(cell[order], return_index=True)
+            sums = np.add.reduceat(counts[order], idx)
+            rows_out.append(np.full(cs.size, r, np.int64))
+            cells_out.append(cs)
+            c_out.append(sums.astype(np.int64))
+        return pa.table(
+            {
+                "r": pa.array(np.concatenate(rows_out)),
+                "cell": pa.array(np.concatenate(cells_out)),
+                "c": pa.array(np.concatenate(c_out)),
+            }
+        )
+
+    sketch = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["r", "cell"])
+        .aggregate(Sum("c"))
+    )
+    # the queries touch depth * |terms| cells — filter those, read only them
+    q = sorted(set(query_terms))
+    qu = _md5_low_mod(q, mod=P31).astype(np.int64)
+    want = {}
+    for r in range(depth):
+        cells = ((a[r] * qu) + b[r]) % P % W
+        for t, cell in zip(q, cells):
+            want.setdefault((r, int(cell)), []).append(t)
+    keys = pa.array([r * width + c for r, c in sorted(want)], pa.int64())
+
+    def prune(t: pa.Table) -> pa.Table:
+        k = pc.add(pc.multiply(t["r"], width), t["cell"])
+        return t.filter(pc.is_in(k, value_set=keys))
+
+    import ray
+
+    cells_tbl = pa.concat_tables(
+        [tb for tb in ray.get(
+            sketch.map_batches(prune, batch_format="pyarrow").to_arrow_refs()
+        ) if tb.num_rows]
+    )
+    lookup = {
+        (int(r), int(c)): int(v)
+        for r, c, v in zip(
+            cells_tbl["r"].to_pylist(), cells_tbl["cell"].to_pylist(),
+            cells_tbl["sum(c)"].to_pylist(),
+        )
+    }
+    terms_out, est_out = [], []
+    for t, uh in zip(q, qu):
+        ests = []
+        for r in range(depth):
+            cell = int(((a[r] * uh) + b[r]) % P % W)
+            ests.append(lookup.get((r, cell), 0))
+        terms_out.append(t)
+        est_out.append(min(ests))
+    return pa.table(
+        {"term": pa.array(terms_out, pa.string()),
+         "est_count": pa.array(est_out, pa.int64())}
+    )
+
+
+def cms_frequencies_sql(query_terms, *, width: int = 1024, depth: int = 4,
+                        seed: int = 17, table: str = "documents",
+                        tokens_expr: str = None) -> str:
+    from .dedup import minhash_params
+
+    a, b = minhash_params(depth, seed)
+    params = ", ".join(
+        f"({r}, {int(a[r])}, {int(b[r])})" for r in range(depth)
+    )
+    q = sorted(set(query_terms))
+    qvals = ", ".join(f"('{t}')" for t in q)
+    return f"""WITH tok AS (
+  SELECT unnest({tokens_expr}) AS t FROM {table}
+),
+prm(r, pa, pb) AS (VALUES {params}),
+cells AS (
+  SELECT p.r,
+         ((p.pa * (md5_number_lower(tok.t) % {P31})) + p.pb) % {P31} % {width}
+           AS cell,
+         count(*) AS c
+  FROM tok CROSS JOIN prm p
+  GROUP BY 1, 2
+),
+qt(term) AS (VALUES {qvals}),
+qcell AS (
+  SELECT qt.term, p.r,
+         ((p.pa * (md5_number_lower(qt.term) % {P31})) + p.pb) % {P31} % {width}
+           AS cell
+  FROM qt CROSS JOIN prm p
+)
+SELECT qc.term, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est_count
+FROM qcell qc LEFT JOIN cells c ON c.r = qc.r AND c.cell = qc.cell
+GROUP BY qc.term
+ORDER BY qc.term"""

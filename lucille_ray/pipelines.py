@@ -473,6 +473,28 @@ def _sql_stratified_sample() -> str:
     )
 
 
+_CMS_QUERY_TERMS = ["data", "join", "the", "batch", "window", "zzzznope"]
+
+
+def cms_frequencies_q(sf_dir: str) -> pa.Table:
+    """Count-Min-Sketch corpus term-frequency estimates for a fixed query
+    set (incl. one absent term exercising the zero path)."""
+    from .ops.sampling import cms_frequencies
+
+    return cms_frequencies(
+        _documents(sf_dir, ["text"]), _CMS_QUERY_TERMS, width=1024, depth=4
+    )
+
+
+def _sql_cms_frequencies() -> str:
+    from .ops.sampling import cms_frequencies_sql
+
+    return cms_frequencies_sql(
+        _CMS_QUERY_TERMS, width=1024, depth=4,
+        tokens_expr=osql.tokens_expr("text"), table="documents",
+    )
+
+
 def kmv_distinct_q(sf_dir: str):
     """KMV distinct-count sketch: distinct users per event type."""
     import ray.data
@@ -1380,6 +1402,7 @@ def registry() -> Dict[str, tuple]:
         "pmi_collocations": (pmi_collocations_q, _sql_pmi_collocations()),
         "group_quantiles": (group_quantiles_q, _sql_group_quantiles()),
         "kmv_distinct": (kmv_distinct_q, _sql_kmv_distinct()),
+        "cms_frequencies": (cms_frequencies_q, _sql_cms_frequencies()),
         "stratified_sample": (stratified_sample_q, _sql_stratified_sample()),
         "simhash": (simhash_q, osql.simhash_sql()),
         "image_features": (image_features_q, _sql_image_features()),

@@ -823,3 +823,33 @@ def test_curation_pipeline_stage_semantics(ray_session):
     assert 2 not in kept                    # dedup keeps 1, drops 2
     assert {0, 1} <= kept
     assert (out.quality_bucket >= 2).all()
+
+
+def test_cms_frequencies_overestimates_and_merges(ray_session):
+    from collections import Counter
+
+    import ray.data
+
+    from lucille_ray.analysis import tokenize
+    from lucille_ray.ops.sampling import cms_frequencies
+
+    rng = np.random.default_rng(2)
+    vocab = [f"t{i}" for i in range(200)]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(200)]
+    true = Counter(t for x in texts for t in tokenize(x))
+    qs = ["t0", "t5", "t199", "absent_term"]
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)}))
+    est = dict(zip(*[
+        cms_frequencies(ds, qs, width=512, depth=4)[c].to_pylist()
+        for c in ("term", "est_count")
+    ]))
+    for t in qs:
+        assert est[t] >= true.get(t, 0)            # CMS never underestimates
+        assert est[t] <= true.get(t, 0) + 6000 // 512 * 8  # collision slack
+    assert est["absent_term"] <= 6000 // 512 * 8
+    # merge linearity: different partitioning -> identical sketch estimates
+    est2 = dict(zip(*[
+        cms_frequencies(ds.repartition(9), qs, width=512, depth=4)[c].to_pylist()
+        for c in ("term", "est_count")
+    ]))
+    assert est == est2
