@@ -27,6 +27,10 @@ SUBSET = [
     "grouped_topk",
     "search_facets",
     "search_snippets",
+    "pii_scrub",
+    "kmv_distinct",
+    "cms_frequencies",
+    "curation_pipeline",
     "search_term",
     "search_and",
     "search_phrase",
