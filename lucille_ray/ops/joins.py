@@ -79,6 +79,31 @@ def range_count_nearby(
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
 
 
+def drop_empty_blocks(ds):
+    """Rebuild a dataset from its non-empty block refs (metadata-only; block
+    payloads never touch the driver).
+
+    Why: Ray's hash-shuffle groupby emits zero-row partitions as COLUMN-LESS
+    tables (``pa.table({})``), and ``map_batches`` forwards empty blocks
+    without invoking the fn — so typed-empty returns can't repair them. One
+    such block hash-partitioned into a ``Dataset.join`` poisons that
+    partition's Arrow block builder and Acero rejects the key field ref
+    (the r02 ``tfidf_keywords`` flake at 32 cpus). Call this on any
+    groupby-derived input to a join. Consumes/extends the plan, so pass a
+    materialized dataset when the lineage is expensive."""
+    import ray.data
+
+    refs = [
+        block_ref
+        for bundle in ds.iter_internal_ref_bundles()
+        for block_ref, meta in bundle.blocks
+        if meta.num_rows is None or meta.num_rows > 0
+    ]
+    if not refs:  # all-empty input: keep one block so the schema survives
+        return ds
+    return ray.data.from_arrow_refs(refs)
+
+
 def auto_num_partitions(max_parts: int = 16) -> int:
     """CPU-aware hash-join partition count: each ``Dataset.join`` schedules
     ``num_partitions`` one-CPU aggregator ACTORS, so chained joins sized past

@@ -217,20 +217,27 @@ LIMIT {k}
 
 
 def tfidf_keywords(ds, k: int = 3, *, text_col: str = "text",
-                   id_col: str = "doc_id", num_partitions=None):
+                   id_col: str = "doc_id", num_partitions=None,
+                   df_broadcast_limit: int = 2_000_000):
     """Per-document TF-IDF keyword extraction — the canonical TWO-PASS
     corpus-statistics op: pass 1 derives per-(doc, term) tf partials and the
     vocabulary-bounded df table, pass 2 scores ``tf * ln(1 + N/df)`` and
     keeps each doc's top-k terms.
 
     Scale shape: tf rows come straight from one explode-groupby per batch
-    (each doc lives in one row, so batch-local tf IS global tf); df is one
-    vocabulary-bounded groupby; tf ⋈ df is a partitioned hash join (the df
-    side may exceed broadcast size at web scale); the final per-doc top-k
-    reuses :func:`.relational.grouped_topk`'s candidate-combiner pattern
-    with deterministic (score DESC, term ASC) ties.
+    (each doc lives in one row, so batch-local tf IS global tf) and are
+    MATERIALIZED once (consumed by both the df groupby and the scorer); df is
+    one vocabulary-bounded groupby. When the df table fits the
+    ``df_broadcast_limit`` row bound it is broadcast (``ray.put`` once, read
+    per task, vectorized ``pc.index_in`` lookup) — no second shuffle at all;
+    past the bound tf ⋈ df falls back to a partitioned hash join whose sides
+    are BOTH schema-pinned (typed empty blocks, plain-string keys — Acero
+    rejects a key ref into an untyped empty partition). The final per-doc
+    top-k reuses :func:`.relational.grouped_topk`'s candidate-combiner
+    pattern with deterministic (score DESC, term ASC) ties.
     """
     import polars as pl
+    import ray
 
     from ray.data.aggregate import Count
 
@@ -271,33 +278,72 @@ def tfidf_keywords(ds, k: int = 3, *, text_col: str = "text",
         )
 
     n_docs = ds.count()
-    tf = ds.map_batches(tf_partial, batch_format="pyarrow")
+    tf = ds.map_batches(tf_partial, batch_format="pyarrow").materialize()
+
+    df_schema = pa.schema([("term", pa.string()), ("df", pa.int64())])
+
+    def df_rename(t: pa.Table) -> pa.Table:
+        # typed empties: a 32-partition groupby emits empty blocks whose
+        # schema would otherwise reach the join untyped (r02 Acero flake)
+        if t.num_rows == 0 or "term" not in t.schema.names:
+            return df_schema.empty_table()
+        return pa.table(
+            {
+                "term": pc.cast(t["term"], pa.string()),
+                "df": pc.cast(t["count()"], pa.int64()),
+            }
+        )
+
     df = (
         tf.groupby("term")
         .aggregate(Count())
-        .map_batches(
-            lambda t: pa.table(
-                {"term": t["term"], "df": pc.cast(t["count()"], pa.int64())}
-            ),
-            batch_format="pyarrow",
-        )
-    )
-    joined = tf.join(
-        df, join_type="inner", num_partitions=num_partitions, on=("term",)
+        .map_batches(df_rename, batch_format="pyarrow")
+        .materialize()  # vocabulary-bounded by contract
     )
 
-    def score(batch: pa.Table) -> pa.Table:
-        tfv = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
-        dfv = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
-        s = tfv * np.log(1.0 + float(n_docs) / dfv)
-        return pa.table(
-            {id_col: batch[id_col], "term": batch["term"], "s": pa.array(s)}
+    if df.count() <= df_broadcast_limit:
+        # broadcast path: ship the (term -> df) table to the object store ONCE
+        # and resolve per batch with one vectorized Arrow index_in — no join
+        parts = [t for t in ray.get(df.to_arrow_refs()) if t.num_rows]
+        df_tab = pa.concat_tables(parts) if parts else df_schema.empty_table()
+        lookup_ref = ray.put(
+            (
+                df_tab["term"].combine_chunks(),
+                df_tab["df"].to_numpy(zero_copy_only=False).astype(np.float64),
+            )
         )
 
-    top = grouped_topk(
-        joined.map_batches(score, batch_format="pyarrow"),
-        k=k, key_col=id_col, val_col="s", id_col="term",
-    )
+        def score_broadcast(batch: pa.Table) -> pa.Table:
+            terms_v, dfs_v = ray.get(lookup_ref)
+            idx = pc.index_in(batch["term"], value_set=terms_v).to_numpy(
+                zero_copy_only=False
+            )
+            tfv = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+            s = tfv * np.log(1.0 + float(n_docs) / dfs_v[idx])
+            return pa.table(
+                {id_col: batch[id_col], "term": batch["term"], "s": pa.array(s)}
+            )
+
+        scored = tf.map_batches(score_broadcast, batch_format="pyarrow")
+    else:
+        from .joins import drop_empty_blocks
+
+        joined = tf.join(
+            drop_empty_blocks(df), join_type="inner",
+            num_partitions=num_partitions, on=("term",),
+        )
+
+        def score(batch: pa.Table) -> pa.Table:
+            tfv = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+            dfv = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+            s = tfv * np.log(1.0 + float(n_docs) / dfv)
+            return pa.table(
+                {id_col: batch[id_col], "term": batch["term"], "s": pa.array(s)}
+            )
+
+        scored = joined.map_batches(score, batch_format="pyarrow")
+
+    top = grouped_topk(scored, k=k, key_col=id_col, val_col="s", id_col="term")
     return top.map_batches(
         lambda t: pa.table(
             {
@@ -403,6 +449,11 @@ def pmi_collocations(ds, k: int = 20, min_count: int = 5, *,
         )
         .materialize()  # consumed three times below
     )
+    # the groupby can emit column-less zero-row blocks that would poison the
+    # two hash joins below (see joins.drop_empty_blocks) — strip them once here
+    from .joins import drop_empty_blocks
+
+    counts = drop_empty_blocks(counts)  # ref-backed: no recompute on reuse
     is_uni = lambda t: t.filter(pc.equal(t["w2"], ""))  # noqa: E731
     is_bi = lambda t: t.filter(pc.not_equal(t["w2"], ""))  # noqa: E731
     uni = counts.map_batches(

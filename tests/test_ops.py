@@ -687,6 +687,58 @@ def test_tfidf_keywords_vs_numpy(ray_session):
             assert abs(sub.loc[i, "score_r"] - round(s, 4)) < 1e-9
 
 
+def test_drop_empty_blocks_unpoisons_joins(ray_session):
+    """Ray's hash groupby emits zero-row partitions as COLUMN-LESS blocks and
+    map_batches forwards empty blocks without calling the fn; one such block
+    inside a join input kills Acero's key-field resolution (the r02
+    ``tfidf_keywords`` driver flake). drop_empty_blocks must strip them."""
+    import ray
+    import ray.data
+
+    from lucille_ray.ops.joins import drop_empty_blocks
+
+    typed = pa.table(
+        {"term": pa.array(["a", "b", "c"], pa.string()),
+         "df": pa.array([1, 2, 3], pa.int64())}
+    )
+    poisoned = ray.data.from_arrow([typed, pa.table({}), pa.table({})])
+    clean = drop_empty_blocks(poisoned)
+    schemas = [str(ray.get(r).schema) for r in clean.to_arrow_refs()]
+    assert all("term" in s for s in schemas)
+    left = ray.data.from_arrow(
+        pa.table({"term": pa.array(["a", "b", "a"], pa.string()),
+                  "tf": pa.array([5, 6, 7], pa.int64())})
+    )
+    j = left.join(clean, join_type="inner", num_partitions=2, on=("term",))
+    assert j.count() == 3
+    # all-empty input degrades gracefully (returns the original dataset)
+    all_empty = ray.data.from_arrow([pa.table({})])
+    assert drop_empty_blocks(all_empty).count() == 0
+
+
+def test_tfidf_join_path_matches_broadcast_at_32_blocks(ray_session):
+    """The join fallback (df past the broadcast bound) must agree with the
+    broadcast path bit-for-bit even when the input is shredded into 32 tiny
+    blocks — the shape whose empty groupby partitions broke r02 at 32 cpus."""
+    import ray.data
+
+    from lucille_ray.ops.textstats import tfidf_keywords
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(32)
+    via_broadcast = (
+        tfidf_keywords(ds, k=3).to_pandas()
+        .sort_values(["doc_id", "rk"]).reset_index(drop=True)
+    )
+    via_join = (
+        tfidf_keywords(ds, k=3, df_broadcast_limit=0, num_partitions=3)
+        .to_pandas().sort_values(["doc_id", "rk"]).reset_index(drop=True)
+    )
+    assert len(via_broadcast) > 0
+    assert via_broadcast.equals(via_join)
+
+
 def test_pmi_collocations_planted_pair(ray_session):
     import ray.data
 
