@@ -15,7 +15,6 @@ single all-to-all, moving only the projected join columns (prune at read).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 
 
 def asof_prev_event(ds, *, key_col: str = "user_id", ts_col: str = "ts"):
@@ -28,25 +27,32 @@ def asof_prev_event(ds, *, key_col: str = "user_id", ts_col: str = "ts"):
     like the SQL oracle's ASOF JOIN.
     """
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, "event_id"], kind="stable")
-        ts = g[ts_col].to_numpy().astype("datetime64[us]")
-        out = pd.DataFrame(
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def per_key(g: pa.Table) -> pa.Table:
+        # Arrow-native shift: sort once, pair row i with row i-1 via slices
+        order = pc.sort_indices(
+            g, sort_keys=[(ts_col, "ascending"), ("event_id", "ascending")]
+        )
+        g = g.take(order)
+        n = g.num_rows
+        ts = g[ts_col].combine_chunks().cast(pa.timestamp("us"))
+        ts_np = ts.to_numpy(zero_copy_only=False)
+        ids = g["event_id"].combine_chunks().cast(pa.int64())
+        return pa.table(
             {
-                "event_id": g["event_id"].to_numpy()[1:],
-                key_col: g[key_col].to_numpy()[1:],
-                ts_col: ts[1:],
-                "prev_event_id": g["event_id"].to_numpy()[:-1],
-                "prev_ts": ts[:-1],
-                "prev_type": g["event_type"].to_numpy()[:-1],
-                "gap_us": (ts[1:] - ts[:-1]).astype(np.int64),
+                "event_id": ids.slice(1),
+                key_col: g[key_col].combine_chunks().slice(1),
+                ts_col: ts.slice(1),
+                "prev_event_id": ids.slice(0, n - 1),
+                "prev_ts": ts.slice(0, n - 1),
+                "prev_type": g["event_type"].combine_chunks().slice(0, n - 1),
+                "gap_us": pa.array((ts_np[1:] - ts_np[:-1]).astype(np.int64)),
             }
         )
-        out["event_id"] = out["event_id"].astype("int64")
-        out["prev_event_id"] = out["prev_event_id"].astype("int64")
-        return out
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
 
 
 def range_count_nearby(
@@ -62,21 +68,26 @@ def range_count_nearby(
     """
     w = np.timedelta64(int(window_seconds), "s").astype("timedelta64[us]")
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g[ts_col].to_numpy().astype("datetime64[us]"))
-        mine = g[ts_col].to_numpy().astype("datetime64[us]")
+    import pyarrow as pa
+
+    def per_key(g: pa.Table) -> pa.Table:
+        mine = (
+            g[ts_col].combine_chunks().cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+        )
+        ts = np.sort(mine)
         n = (
             np.searchsorted(ts, mine + w, side="right")
             - np.searchsorted(ts, mine - w, side="left")
         )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "event_id": g["event_id"].to_numpy().astype("int64"),
-                "n_nearby": n.astype("int64"),
+                "event_id": g["event_id"].combine_chunks().cast(pa.int64()),
+                "n_nearby": pa.array(n.astype(np.int64)),
             }
         )
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
 
 
 def drop_empty_blocks(ds):

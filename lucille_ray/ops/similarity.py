@@ -159,6 +159,7 @@ def embedding_near_dups(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     block_rows: int = 4096,
+    max_rows: int = 1_000_000,
 ) -> pa.Table:
     """Embedding-cosine near-duplicate pairs (a < b, sim >= threshold), EXACT.
 
@@ -166,8 +167,10 @@ def embedding_near_dups(
     the object store; then B*(B+1)/2 Ray tasks each pull two blocks (zero-copy
     object-store reads) and emit only their matching pairs. The driver holds
     block *references* and the final (small) pair set — never the embeddings.
-    Exact all-pairs is O(N^2) similarity work by contract; for web-scale
-    near-dup dedup use :func:`embedding_near_dups_ann`.
+    Exact all-pairs is O(N^2) similarity work by contract; ``max_rows`` makes
+    a 100x scale-up fail LOUDLY before any quadratic task is scheduled —
+    for web-scale near-dup dedup use :func:`embedding_near_dups_ann`
+    (or raise the bound explicitly if you really mean exact all-pairs).
     """
     import ray
 
@@ -190,6 +193,14 @@ def embedding_near_dups(
     blocks = ds.map_batches(
         prep, batch_size=block_rows, batch_format="pyarrow"
     ).materialize()
+    n_rows = blocks.count()  # free on a materialized dataset
+    if n_rows > max_rows:
+        raise ValueError(
+            f"embedding_near_dups is EXACT all-pairs (O(N^2)): input has "
+            f"{n_rows} rows > max_rows={max_rows}. Use "
+            f"embedding_near_dups_ann for large inputs, or raise max_rows "
+            f"to schedule the quadratic task grid deliberately."
+        )
     refs = blocks.to_arrow_refs()
 
     pair_task = ray.remote(num_cpus=1)(_pair_block)

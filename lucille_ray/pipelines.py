@@ -145,10 +145,15 @@ def doc_stats(sf_dir: str) -> pa.Table:
     )
 
 
-def exact_dedup_q(sf_dir: str) -> pa.Table:
-    out = exact_dedup(_documents(sf_dir, ["doc_id", "text"])).to_pandas()
-    out = out.rename(columns={"min(doc_id)": "keep_id", "count()": "dup_count"})
-    return pa.Table.from_pandas(out[["h", "keep_id", "dup_count"]], preserve_index=False)
+def exact_dedup_q(sf_dir: str):
+    def rename(t: pa.Table) -> pa.Table:
+        return t.select(["h", "min(doc_id)", "count()"]).rename_columns(
+            ["h", "keep_id", "dup_count"]
+        )
+
+    return exact_dedup(_documents(sf_dir, ["doc_id", "text"])).map_batches(
+        rename, batch_format="pyarrow"
+    )
 
 
 def quality_q(sf_dir: str):
