@@ -32,11 +32,11 @@ SUBSET = [
     "cms_frequencies",
     "curation_pipeline",
     "search_term",
-    "search_and",
     "search_phrase",
     "search_proximity",
-    "search_prefix",
-    "search_fuzzy",
+    "search_expansions",
+    "search_fuzzy_range",
+    "search_not",
     "search_nested",
 ]
 
