@@ -62,10 +62,30 @@ SPECIAL = LUCENE_SPECIAL | QUOTES | {" "}
 PHRASE_ESCAPED = QUOTES | {"\\"}
 RESERVED = ("OR", "||", "AND", "&&", "NOT", "+", "-", "/")
 
-_wsp = C.char_in(" \t")  # RFC5234 WSP
-_sp = C.char(" ")
-spaces = C.rep(_wsp, 1)
-maybe_space = C.opt(spaces)
+
+# ---- hot-path primitives: direct scans, combinator-identical semantics ----
+# (VERDICT r02 #6: parse1000 rides these; each replaces a rep/one_of closure
+# chain with one loop while raising the exact same Failure offsets, so commit
+# semantics — and therefore the whole 222-case corpus — are unchanged)
+
+
+def spaces(s: str, pos: int):
+    """``rep(char_in(" \\t"), 1)`` — RFC5234 WSP run."""
+    i, n = pos, len(s)
+    while i < n and (s[i] == " " or s[i] == "\t"):
+        i += 1
+    if i == pos:
+        raise C.Failure(pos, "whitespace")
+    return i, None
+
+
+def maybe_space(s: str, pos: int):
+    """``spaces.?`` — never fails."""
+    i, n = pos, len(s)
+    while i < n and (s[i] == " " or s[i] == "\t"):
+        i += 1
+    return i, None
+
 
 _digit = C.char_where(lambda c: "0" <= c <= "9", "digit")
 _alpha = C.char_where(lambda c: ("a" <= c <= "z") or ("A" <= c <= "Z"), "alpha")
@@ -82,39 +102,144 @@ def _captured(parser: C.Parser) -> C.Parser:
 
 
 # int: digits not followed by '.' (QueryParser.scala:190)
-int_p = C.fmap(
-    _captured(C.seq(C.rep(_digit, 1), C.not_(C.char(".")))),
-    int,
-)
+def int_p(s: str, pos: int):
+    i, n = pos, len(s)
+    while i < n and "0" <= s[i] <= "9":
+        i += 1
+    if i == pos:
+        raise C.Failure(pos, "digit")
+    if i < n and s[i] == ".":
+        # not_('.') fails at i: committed w.r.t. pos, like the combinator form
+        raise C.Failure(i, "not")
+    return i, int(s[pos:i])
+
 
 # float: digits optionally '.' digits; no sign, no suffix (QueryParser.scala:198-202)
-float_p = C.fmap(
-    _captured(C.seq(C.rep(_digit, 1), C.opt(C.seq(C.char("."), C.rep(_digit, 1))))),
-    lambda sl: f32(float(sl)),
-)
+def float_p(s: str, pos: int):
+    i, n = pos, len(s)
+    while i < n and "0" <= s[i] <= "9":
+        i += 1
+    if i == pos:
+        raise C.Failure(pos, "digit")
+    if i < n and s[i] == ".":
+        j = i + 1
+        while j < n and "0" <= s[j] <= "9":
+            j += 1
+        if j == i + 1:
+            # consumed '.', then rep(digit,1) fails there: committed
+            raise C.Failure(i + 1, "digit")
+        i = j
+    return i, f32(float(s[pos:i]))
+
 
 # queryEnd: lookahead for whitespace / end / ')' (QueryParser.scala:215)
-query_end = C.peek(C.one_of([C.fmap(_wsp, lambda _: None), C.end, C.fmap(C.char(")"), lambda _: None)]))
+def query_end(s: str, pos: int):
+    if pos == len(s) or s[pos] in " \t)":
+        return pos, None
+    raise C.Failure(pos, "query end")
 
 
 def _in_base_range(c: str) -> bool:
     return 0x20 <= ord(c) <= 0x10FFFF
 
 
-_allowed = C.char_where(lambda c: _in_base_range(c) and c not in SPECIAL, "term char")
-_escaped = C.keep_right(C.char("\\"), C.char_in(SPECIAL))
+_RESERVED_FIRST = frozenset(lit[0] for lit in RESERVED)
 
-# term: must not start with a reserved token (QueryParser.scala:213,218-219)
-term = C.keep_right(
-    C.not_(C.string_in(RESERVED)),
-    C.rep_string(C.one_of([_allowed, _escaped]), 1),
-)
 
-_phrase_char = C.char_where(
-    lambda c: _in_base_range(c) and c not in PHRASE_ESCAPED, "phrase char"
-)
-_phrase_escaped = C.keep_right(C.char("\\"), C.char_in(PHRASE_ESCAPED))
-_phrase_body = C.rep_string(C.one_of([_phrase_char, _phrase_escaped]), 1)
+def _term_scan(s: str, pos: int):
+    """``not_(string_in(RESERVED)) *> rep_string(one_of([allowed, escaped]), 1)``.
+
+    allowed = base-range char not in SPECIAL; escaped = ``\\`` + SPECIAL char
+    (escape dropped). Failure offsets mirror the combinator chain exactly:
+    epsilon at ``pos`` for a reserved prefix / no valid first char; committed
+    at ``i + 1`` for a dangling or invalid escape."""
+    n = len(s)
+    if pos < n and s[pos] in _RESERVED_FIRST:
+        for lit in RESERVED:
+            if s.startswith(lit, pos):
+                raise C.Failure(pos, "not")
+    i = pos
+    parts: Optional[List[str]] = None  # only allocated when an escape appears
+    seg = pos  # start of the current plain run
+    while i < n:
+        c = s[i]
+        if c == "\\":
+            if i + 1 < n and s[i + 1] in SPECIAL:
+                if parts is None:
+                    parts = []
+                parts.append(s[seg:i])
+                parts.append(s[i + 1])
+                i += 2
+                seg = i
+                continue
+            raise C.Failure(i + 1, f"char in {sorted(SPECIAL)[:8]}")
+        if c in SPECIAL or ord(c) < 0x20:
+            break
+        i += 1
+    if i == pos and parts is None:
+        raise C.Failure(pos, "term char")
+    if parts is None:
+        return i, s[pos:i]
+    parts.append(s[seg:i])
+    return i, "".join(parts)
+
+
+# term is re-tried at the same offset by several ``q`` alternatives
+# (field_query, fuzzy, boost->field/term, term_and_wildcard) — a per-input
+# memo makes those retries O(1) without changing any observable behavior
+_term_memo: dict = {}
+_term_memo_s: Optional[str] = None  # holds a live ref, so identity is safe
+
+
+def term(s: str, pos: int):
+    global _term_memo_s
+    if s is not _term_memo_s:
+        _term_memo_s = s
+        _term_memo.clear()
+    r = _term_memo.get(pos)
+    if r is None:
+        try:
+            r = _term_scan(s, pos)
+        except C.Failure as f:
+            _term_memo[pos] = ("F", f.offset, f.expected)
+            raise
+        _term_memo[pos] = r
+        return r
+    if r[0] == "F":
+        raise C.Failure(r[1], r[2])
+    return r
+
+
+def _phrase_body(s: str, pos: int):
+    """``rep_string(one_of([phrase_char, phrase_escaped]), 1)`` where
+    phrase_char = base-range char not in QUOTES/backslash."""
+    n = len(s)
+    i = pos
+    parts: Optional[List[str]] = None
+    seg = pos
+    while i < n:
+        c = s[i]
+        if c == "\\":
+            if i + 1 < n and s[i + 1] in PHRASE_ESCAPED:
+                if parts is None:
+                    parts = []
+                parts.append(s[seg:i])
+                parts.append(s[i + 1])
+                i += 2
+                seg = i
+                continue
+            raise C.Failure(i + 1, f"char in {sorted(PHRASE_ESCAPED)}")
+        if c in QUOTES or ord(c) < 0x20:
+            break
+        i += 1
+    if i == pos and parts is None:
+        raise C.Failure(pos, "phrase char")
+    if parts is None:
+        return i, s[pos:i]
+    parts.append(s[seg:i])
+    return i, "".join(parts)
+
+
 phrase = C.fmap(
     C.seq(C.char_in(QUOTES), _phrase_body, C.char_in(QUOTES)), lambda t: t[1]
 )
@@ -143,19 +268,33 @@ def _to_term_or_wildcard(ops: List[object]) -> Query:
     return WildCard(tuple(ops))
 
 
-term_and_wildcard_q = C.fmap(
-    C.rep(
-        C.one_of(
-            [
-                C.fmap(C.char("?"), lambda _: SingleChar),
-                C.fmap(C.char("*"), lambda _: ManyChar),
-                C.fmap(term, Str),
-            ]
-        ),
-        1,
-    ),
-    _to_term_or_wildcard,
-)
+def term_and_wildcard_q(s: str, pos: int):
+    """``rep(one_of(['?' -> SingleChar, '*' -> ManyChar, term -> Str]), 1)``
+    as one scan loop; commit semantics identical (a committed term failure —
+    bad escape — propagates, an epsilon failure ends the repetition)."""
+    ops: List[object] = []
+    i, n = pos, len(s)
+    while i < n:
+        c = s[i]
+        if c == "?":
+            ops.append(SingleChar)
+            i += 1
+            continue
+        if c == "*":
+            ops.append(ManyChar)
+            i += 1
+            continue
+        try:
+            j, v = term(s, i)
+        except C.Failure as f:
+            if f.offset != i:
+                raise
+            break
+        ops.append(Str(v))
+        i = j
+    if not ops:
+        raise C.Failure(pos, "at least 1 repetitions")
+    return i, _to_term_or_wildcard(ops)
 
 # regex: body is the raw slice between '/' delimiters, '\/' the only escape
 # (QueryParser.scala:264-273) — the backslash stays in the captured string
@@ -187,9 +326,15 @@ range_query = C.fmap(
     lambda t: TermRange(t[1], t[3], t[0], t[4]),
 )
 
-_or_op = C.fmap(C.one_of([C.string("OR"), C.string("||")]), lambda _: Op.OR)
-_and_op = C.fmap(C.one_of([C.string("AND"), C.string("&&")]), lambda _: Op.AND)
-infix_op = C.one_of([_or_op, _and_op])
+def infix_op(s: str, pos: int):
+    """``one_of([OR|'||' -> Op.OR, AND|'&&' -> Op.AND])`` — literal scan."""
+    if s.startswith("OR", pos) or s.startswith("||", pos):
+        return pos + 2, Op.OR
+    if s.startswith("AND", pos):
+        return pos + 3, Op.AND
+    if s.startswith("&&", pos):
+        return pos + 2, Op.AND
+    raise C.Failure(pos, "'OR'")
 
 
 def _build_parser(default_boolean_or: bool) -> C.Parser:
@@ -251,37 +396,145 @@ def _build_parser(default_boolean_or: bool) -> C.Parser:
         lambda t: MinimumMatch(tuple(t[0]), t[1]),
     )
 
-    # ordered alternatives (QueryParser.scala:135-153) — order is load-bearing
-    ref["q"] = C.one_of(
-        [
-            unary_plus,
-            unary_minus,
-            not_q,
-            field_query,
-            proximity_q,
-            range_query,
-            fuzzy_t,
-            minimum_match_q,
-            boost_q,
-            term_and_wildcard_q,
-            regex_q,
-            phrase_q,
-            group_q,
-        ]
-    )
+    # ordered alternatives (QueryParser.scala:135-153) — order is load-bearing.
+    # Hand-rolled dispatch mirroring ``C.one_of`` exactly, with FIRST-CHAR
+    # GATES: an alternative whose leading parser can only fail epsilon on this
+    # char is skipped outright (it would contribute nothing but a Failure
+    # allocation). Commit semantics are untouched — a gated-in alternative
+    # that fails after consuming still aborts the whole choice, and the
+    # all-epsilon failure is the same Failure(pos, "'+'") the generic one_of
+    # surfaces (its deepest = the first alternative's epsilon failure).
+    def q_dispatch(s: str, pos: int):
+        if pos < len(s):
+            c = s[pos]
+            ts = (c >= " " and c not in SPECIAL) or c == "\\"  # term start
+            if c == "+":
+                try:
+                    return unary_plus(s, pos)
+                except C.Failure as f:
+                    if f.offset != pos:
+                        raise
+            elif c == "-":
+                try:
+                    return unary_minus(s, pos)
+                except C.Failure as f:
+                    if f.offset != pos:
+                        raise
+            elif c == "N":
+                try:
+                    return not_q(s, pos)
+                except C.Failure as f:
+                    if f.offset != pos:
+                        raise
+            if ts:
+                try:
+                    return field_query(s, pos)
+                except C.Failure as f:
+                    if f.offset != pos:
+                        raise
+            elif c in QUOTES:
+                try:
+                    return proximity_q(s, pos)
+                except C.Failure as f:
+                    if f.offset != pos:
+                        raise
+            elif c == "{" or c == "[":
+                try:
+                    return range_query(s, pos)
+                except C.Failure as f:
+                    if f.offset != pos:
+                        raise
+            if ts:
+                try:
+                    return fuzzy_t(s, pos)
+                except C.Failure as f:
+                    if f.offset != pos:
+                        raise
+            elif c == "(":
+                try:
+                    return minimum_match_q(s, pos)
+                except C.Failure as f:
+                    if f.offset != pos:
+                        raise
+            if ts or c == "(" or c == "?" or c == "*" or c in QUOTES:
+                try:
+                    return boost_q(s, pos)
+                except C.Failure as f:
+                    if f.offset != pos:
+                        raise
+            if ts or c == "?" or c == "*":
+                try:
+                    return term_and_wildcard_q(s, pos)
+                except C.Failure as f:
+                    if f.offset != pos:
+                        raise
+            if c == "/":
+                try:
+                    return regex_q(s, pos)
+                except C.Failure as f:
+                    if f.offset != pos:
+                        raise
+            elif c in QUOTES:
+                try:
+                    return phrase_q(s, pos)
+                except C.Failure as f:
+                    if f.offset != pos:
+                        raise
+            elif c == "(":
+                try:
+                    return group_q(s, pos)
+                except C.Failure as f:
+                    if f.offset != pos:
+                        raise
+        raise C.Failure(pos, "'+'")
+
+    ref["q"] = q_dispatch
 
     # OP q OP q ... until end-of-input or a fresh implicit query
-    # (QueryParser.scala:106-108)
-    _pair = C.fmap(
-        C.seq(maybe_space, infix_op, C.rep(_sp, 1), query),
-        lambda t: (t[1], t[3]),
-    )
-    _suffix_terminator = C.seq(maybe_space, C.one_of([C.end, query]))
+    # (QueryParser.scala:106-108) — direct transcriptions of the combinator
+    # forms (seq/fmap/rep unrolled; identical failure offsets)
+    def _pair(s: str, pos: int):
+        cur, _ = maybe_space(s, pos)
+        cur, op = infix_op(s, cur)
+        # rep(char(' '), 1): REAL spaces only after the operator (no tabs)
+        i, n = cur, len(s)
+        while i < n and s[i] == " ":
+            i += 1
+        if i == cur:
+            raise C.Failure(cur, "' '")
+        cur, v = query(s, i)
+        return cur, (op, v)
+
+    def _suffix_terminator(s: str, pos: int):
+        cur, _ = maybe_space(s, pos)
+        if cur == len(s):
+            return cur, None
+        try:
+            return query(s, cur)
+        except C.Failure as f:
+            if f.offset != cur:
+                raise
+            raise C.Failure(cur, "end of input")
+
     suffix_ops = C.rep_until0(_pair, _suffix_terminator)
 
     # leading implicit-op run + explicit op chain, repeated (QueryParser.scala:82-100)
-    _q_and_space = C.fmap(C.seq(query, maybe_space), lambda t: t[0])
-    qs_and_last = C.rep(_q_and_space, 1)
+    def qs_and_last(s: str, pos: int):
+        # rep(query <* maybe_space, 1)
+        out: List[Query] = []
+        cur = pos
+        while True:
+            try:
+                nxt, v = query(s, cur)
+            except C.Failure as f:
+                if f.offset != cur:
+                    raise
+                break
+            out.append(v)
+            cur, _ = maybe_space(s, nxt)
+        if not out:
+            raise C.Failure(pos, "at least 1 repetitions")
+        return cur, out
 
     def _combined(s: str, pos: int):
         cur, _ = maybe_space(s, pos)
