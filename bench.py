@@ -61,6 +61,22 @@ def run_bench(num_cpus: int, turns: int, sf_dir: str) -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    # Ray's sort range-partitioner emits boundary-collision partitions as
+    # UNTYPED empty blocks (pa.table({})) and then warns about mixed-schema
+    # RefBundles from inside its own AllToAll operator. Our pipelines strip
+    # those blocks before any downstream stage (ops.joins.drop_empty_blocks,
+    # used by compaction and every groupby-fed join), so the remaining warning
+    # is Ray-internal noise about blocks we already discard — silence it here.
+    import logging
+
+    class _DropSchemaMismatchNoise(logging.Filter):
+        def filter(self, record):  # noqa: A003
+            return "RefBundle with a different schema" not in record.getMessage()
+
+    logging.getLogger("ray.data._internal.execution.streaming_executor_state""").addFilter(
+        _DropSchemaMismatchNoise()
+    )
+
     from lucille_ray import transcripts as T
     from lucille_ray.index.build import build_index
     from lucille_ray.search.engine import SearchEngine

@@ -335,7 +335,13 @@ def _compact_segment(seg_dir: str, manifest: dict, manifest_path: str) -> None:
     # output blocks at write time (no extra pass): a term lookup opens
     # every file's footer, so hundreds of tiny files put a ~0.5 s floor
     # under COLD lookups.
-    merged = ds.sort(["field", "term", "bucket"]).map_batches(
+    # Zipfian term keys collide the sort's sampled range boundaries, so the
+    # sort emits some partitions as UNTYPED empty blocks; drop them by block
+    # ref (the sort is a full barrier anyway, so this adds no extra pass) —
+    # otherwise every downstream stage sees mixed-schema RefBundles
+    from ..ops.joins import drop_empty_blocks
+
+    merged = drop_empty_blocks(ds.sort(["field", "term", "bucket"])).map_batches(
         merge_fn, batch_size=2048, batch_format="pyarrow"
     )
     def _write():

@@ -7,7 +7,7 @@ DuckDB oracle reproduces decisions bit-for-bit (no float boundary flakes).
 from __future__ import annotations
 
 import hashlib
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 import pyarrow as pa
@@ -165,13 +165,25 @@ def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def top_terms(ds, k: int = 20, *, text_col: str = "text"):
+def top_terms(ds, k: int = 20, *, text_col: str = "text",
+              candidate_cap: Optional[int] = None):
     """Global term-frequency top-k — the wordcount scale pattern: per-batch
     token-count PARTIALS (one row per distinct term per batch, via Arrow
     tokenize + a polars explode-groupby) feed a ``groupby(term)`` Sum, so the
     shuffle moves vocabulary-bounded partial rows, never tokens; the final
     sort+limit runs over the (tiny) per-term aggregate with deterministic
-    (count DESC, term ASC) tie-breaks."""
+    (count DESC, term ASC) tie-breaks.
+
+    ``candidate_cap=None`` (default) is EXACT: every distinct (batch, term)
+    partial shuffles — the right contract when the driver hash-checks values,
+    but a web-scale junk vocabulary makes the groupby key set ~input-sized.
+    Setting ``candidate_cap=M`` keeps only each batch's top-M partials
+    (count DESC, term ASC — the same deterministic keys as the final cut), so
+    the shuffle moves at most ``batches x M`` rows regardless of vocabulary.
+    That cap is the grouped_topk heavy-hitter combiner and is APPROXIMATE by
+    contract: a term must rank in some batch's top-M to be a candidate
+    (guaranteed for any term that is frequent *somewhere*; a term uniformly
+    diluted below rank M in every batch can be missed). Size M >> k."""
     import polars as pl
 
     from ray.data.aggregate import Sum
@@ -183,12 +195,16 @@ def top_terms(ds, k: int = 20, *, text_col: str = "text"):
             return pa.table(
                 {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
             )
-        return (
+        g = (
             pl.from_arrow(pa.table({"term": flat}))
             .group_by("term")
             .agg(pl.len().cast(pl.Int64).alias("n"))
-            .to_arrow()
         )
+        if candidate_cap is not None:
+            g = g.sort(["n", "term"], descending=[True, False]).head(
+                candidate_cap
+            )
+        return g.to_arrow()
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")

