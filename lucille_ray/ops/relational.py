@@ -200,18 +200,27 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def group_quantiles(ds, qs=(0.5, 0.95), *, group_col: str = "event_type",
-                    val_col: str = "value"):
+                    val_col: str = "value", max_group_rows: int | None = None):
     """Exact per-group discrete quantiles (DuckDB ``quantile_disc``
     semantics: the sorted element at index ``ceil(q*n) - 1``).
 
     Scale shape: ``groupby(group).map_groups`` with one vectorized sort per
     group — bounded by the group's row count, the same partitioning contract
-    as sessionize/joins. (A group too big for one worker would switch to a
-    distributed sort + rank select, or a mergeable KLL sketch for approximate
-    quantiles; the event-type groups here are nowhere near that.)"""
+    as sessionize/joins. When ``max_group_rows`` is set, a tiny per-group
+    count peek routes datasets with any oversized group to
+    :func:`group_quantiles_distributed` (distributed sort + rank select —
+    exact, no group ever lands on one worker)."""
     import math
 
     import pandas as pd
+
+    if max_group_rows is not None:
+        counts = _group_counts(ds, group_col)
+        if counts and max(counts.values()) > max_group_rows:
+            return group_quantiles_distributed(
+                ds, qs, group_col=group_col, val_col=val_col,
+                _counts=counts,
+            )
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         v = np.sort(g[val_col].to_numpy())
@@ -227,6 +236,145 @@ def group_quantiles(ds, qs=(0.5, 0.95), *, group_col: str = "event_type",
         return pd.DataFrame(row)
 
     return ds.groupby(group_col).map_groups(per_key, batch_format="pandas")
+
+
+def _group_counts(ds, group_col: str) -> dict:
+    """Per-group row counts; #groups rows to the driver (the only driver
+    materialization either quantile path performs)."""
+    rows = ds.groupby(group_col).count().take_all()
+    return {r[group_col]: int(r["count()"]) for r in rows}
+
+
+def _gq_block_summary(t: pa.Table, group_col: str):
+    """Tiny per-block summary: groups in block order + run lengths.
+
+    The block arrives sorted by (group, value); dictionary-encode the group
+    column and diff the int codes to find run boundaries — vectorized, no
+    per-row Python."""
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0:
+        return [], []
+    codes = pc.dictionary_encode(t[group_col].combine_chunks())
+    idx = codes.indices.to_numpy(zero_copy_only=False)
+    bounds = np.flatnonzero(idx[1:] != idx[:-1]) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(idx)]))
+    dict_vals = codes.dictionary.to_pylist()
+    groups = [dict_vals[idx[s]] for s in starts]
+    return groups, (ends - starts).tolist()
+
+
+def _gq_block_select(t: pa.Table, rows: list, val_col: str):
+    """Gather the requested local row indices' values (one Arrow take)."""
+    return t.column(val_col).take(pa.array(rows, pa.int64())).to_pylist()
+
+
+def group_quantiles_distributed(ds, qs=(0.5, 0.95), *,
+                                group_col: str = "event_type",
+                                val_col: str = "value", _counts=None):
+    """Exact per-group discrete quantiles via distributed sort + rank select
+    — the scale path for groups too large to sort on one worker.
+
+    Algorithm (driver state is O(#groups + #blocks); data blocks never leave
+    workers):
+
+    1. per-group counts (tiny ``groupby.count``) → each group's target global
+       rank ``ceil(q*n) - 1``;
+    2. ONE distributed ``sort([group, value])`` — the only all-to-all;
+    3. per-block (group, run-length) summaries fetched as bytes-sized lists;
+    4. the driver prefix-sums block offsets per group and asks each block
+       only for the global ranks that land inside it (one Arrow ``take`` of
+       ≤ #groups×#qs rows per block).
+
+    Blocks are ordered by their first (group, value) key before the prefix
+    sum: Ray's sort range-partitions, so block ranges overlap only on
+    duplicate boundary keys, and permuting equal values never changes the
+    element VALUE at any rank — selection stays exact. Matches DuckDB
+    ``quantile_disc`` bit-for-bit (same ``ceil(q*n)-1`` rank, value returned
+    verbatim). Nulls are not handled (mirrors the map_groups path).
+    """
+    import math
+
+    import ray
+
+    counts = _counts if _counts is not None else _group_counts(ds, group_col)
+    qlabels = [f"q{int(round(q * 100))}" for q in qs]
+    # group -> [(qlabel, global rank)]
+    wanted = {
+        g: [(lbl, min(n - 1, math.ceil(q * n) - 1))
+            for q, lbl in zip(qs, qlabels)]
+        for g, n in counts.items()
+    }
+
+    sorted_ds = ds.select_columns([group_col, val_col]).sort(
+        [group_col, val_col]
+    )
+    refs = sorted_ds.to_arrow_refs()
+    summarize = ray.remote(_gq_block_summary)
+    summaries = ray.get([summarize.remote(r, group_col) for r in refs])
+
+    # order blocks by first key; ties are duplicate boundary keys (safe)
+    order = sorted(
+        (i for i, (g, _c) in enumerate(summaries) if g),
+        key=lambda i: (summaries[i][0][0],),
+    )
+    # NOTE: within one group the value order across blocks follows the sort's
+    # range partitioning; blocks sharing a first group are disambiguated by
+    # the sort itself emitting them in range order — verify and fall back to
+    # a per-block min-value key when two blocks start with the same group.
+    same_group_starts = {}
+    for i in order:
+        same_group_starts.setdefault(summaries[i][0][0], []).append(i)
+    needs_val_key = any(len(v) > 1 for v in same_group_starts.values())
+    if needs_val_key:
+        first_vals = ray.get([
+            ray.remote(_gq_block_select).remote(refs[i], [0], val_col)
+            for i in order
+        ])
+        fv = {i: v[0] for i, v in zip(order, first_vals)}
+        order.sort(key=lambda i: (summaries[i][0][0], fv[i]))
+
+    seen: dict = {g: 0 for g in counts}
+    requests: dict = {}  # block idx -> (local_rows, out_keys)
+    for bi in order:
+        groups, runs = summaries[bi]
+        local = 0
+        for g, c in zip(groups, runs):
+            for lbl, r in wanted.get(g, ()):
+                if seen[g] <= r < seen[g] + c:
+                    rows, keys = requests.setdefault(bi, ([], []))
+                    rows.append(local + (r - seen[g]))
+                    keys.append((g, lbl))
+            seen[g] += c
+            local += c
+        del groups, runs
+
+    select = ray.remote(_gq_block_select)
+    picked = {}
+    hits = sorted(requests)
+    vals = ray.get([select.remote(refs[bi], requests[bi][0], val_col)
+                    for bi in hits])
+    for bi, block_vals in zip(hits, vals):
+        for key, v in zip(requests[bi][1], block_vals):
+            picked[key] = v
+
+    val_type = pa.schema(
+        [f for f in _schema_of(sorted_ds) if f.name == val_col]
+    ).field(val_col).type
+    out_groups = sorted(counts)
+    cols = {
+        group_col: pa.array(out_groups),
+        "n": pa.array([counts[g] for g in out_groups], pa.int64()),
+    }
+    for lbl in qlabels:
+        cols[lbl] = pa.array([picked[(g, lbl)] for g in out_groups], val_type)
+    return pa.table(cols)
+
+
+def _schema_of(ds) -> pa.Schema:
+    s = ds.schema()
+    return s.base_schema if hasattr(s, "base_schema") else s
 
 
 GROUP_QUANTILES_SQL = """

@@ -682,6 +682,69 @@ def test_group_quantiles_disc_semantics(ray_session):
         assert got.loc[g, "q95"] == v[min(n - 1, math.ceil(0.95 * n) - 1)]
 
 
+def test_group_quantiles_distributed_bit_exact(ray_session):
+    """The distributed sort + rank-select path returns the exact same table
+    as the per-group map_groups path (and therefore DuckDB quantile_disc),
+    across many blocks so rank selection crosses block boundaries."""
+    import ray.data
+
+    from lucille_ray.ops.relational import (
+        group_quantiles,
+        group_quantiles_distributed,
+    )
+
+    rng = np.random.default_rng(41)
+    kinds = np.array(["click", "view", "buy", "scroll"])
+    t = pa.table(
+        {
+            "event_type": pa.array(kinds[rng.integers(0, 4, 3000)]),
+            # heavy duplication so duplicate keys span sort blocks
+            "value": pa.array(np.round(rng.normal(size=3000), 1)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(16)
+    base = (
+        group_quantiles(ds).to_pandas()
+        .sort_values("event_type").reset_index(drop=True)
+    )
+    dist = (
+        group_quantiles_distributed(ds).to_pandas()
+        .sort_values("event_type").reset_index(drop=True)
+    )
+    assert base.equals(dist)
+
+
+def test_group_quantiles_auto_routes_oversized_groups(ray_session):
+    """max_group_rows routes to the distributed path; results identical."""
+    import ray.data
+
+    from lucille_ray.ops.relational import group_quantiles
+
+    rng = np.random.default_rng(7)
+    t = pa.table(
+        {
+            "event_type": pa.array(
+                np.where(rng.random(800) < 0.7, "hot", "cold")
+            ),
+            "value": pa.array(rng.normal(size=800)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    base = (
+        group_quantiles(ds).to_pandas()
+        .sort_values("event_type").reset_index(drop=True)
+    )
+    routed = group_quantiles(ds, max_group_rows=100)
+    assert isinstance(routed, pa.Table)  # distributed path returns a Table
+    routed = (
+        routed.to_pandas().sort_values("event_type").reset_index(drop=True)
+    )
+    assert base.equals(routed)
+    # under the bound the map_groups Dataset path is kept
+    kept = group_quantiles(ds, max_group_rows=10_000)
+    assert not isinstance(kept, pa.Table)
+
+
 def test_pii_scrub_detects_and_redacts(ray_session):
     import ray.data
 
