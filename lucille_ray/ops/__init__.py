@@ -14,6 +14,14 @@ from .multimodal import (  # noqa: F401
     ImageFeatureStage,
     attach_fake_images,
     image_features,
+    video_frame_sample,
+    video_temporal_features,
+)
+from .relational import (  # noqa: F401
+    group_quantiles,
+    group_quantiles_distributed,
+    grouped_topk,
+    pricing_summary,
 )
 from .sessions import (  # noqa: F401
     SESSIONIZE_SQL,

@@ -265,6 +265,79 @@ def video_frame_sample(ds, *, stride: int = 2, batch_size: int = 32,
     )
 
 
+class VideoTemporalStage:
+    """Actor-pool temporal-feature stage: decode each video payload's sampled
+    frames and emit ONE ROW PER VIDEO with motion statistics over consecutive
+    sampled-frame deltas plus the brightness trajectory — the shot-boundary /
+    motion-energy shape a real decoder-backed stage would keep identical.
+
+    Per video (frames sampled every ``stride``):
+      * ``motion_mean`` / ``motion_max`` — mean/max over consecutive sampled
+        pairs of the mean absolute per-pixel delta,
+      * ``cut_count`` — pairs whose delta exceeds ``cut_threshold`` (a scene
+        cut under a hard-threshold detector),
+      * ``brightness_range`` — max - min of the sampled frames' mean pixel.
+    """
+
+    def __init__(self, stride: int = 2, cut_threshold: float = 60.0):
+        self.stride = stride
+        self.cut_threshold = cut_threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = batch["video"].to_pylist()
+        nfs = batch["n_frames"].to_pylist()
+        ws = batch["frame_width"].to_pylist()
+        hs = batch["frame_height"].to_pylist()
+        n_sampled, m_mean, m_max, cuts, b_range = [], [], [], [], []
+        for p, nf, w, h in zip(payloads, nfs, ws, hs):
+            fb = w * h * 3
+            frames = np.frombuffer(p, dtype=np.uint8)[: nf * fb].reshape(nf, fb)
+            sampled = frames[:: self.stride].astype(np.int16)
+            k = sampled.shape[0]
+            n_sampled.append(k)
+            means = sampled.mean(axis=1, dtype=np.float64)
+            b_range.append(float(means.max() - means.min()) if k else 0.0)
+            if k >= 2:
+                deltas = np.abs(np.diff(sampled, axis=0)).mean(
+                    axis=1, dtype=np.float64
+                )
+                m_mean.append(float(deltas.mean()))
+                m_max.append(float(deltas.max()))
+                cuts.append(int((deltas > self.cut_threshold).sum()))
+            else:
+                m_mean.append(0.0)
+                m_max.append(0.0)
+                cuts.append(0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_sampled": pa.array(n_sampled, pa.int32()),
+                "motion_mean": pa.array(m_mean, pa.float64()),
+                "motion_max": pa.array(m_max, pa.float64()),
+                "cut_count": pa.array(cuts, pa.int64()),
+                "brightness_range": pa.array(b_range, pa.float64()),
+            }
+        )
+
+
+def video_temporal_features(ds, *, stride: int = 2,
+                            cut_threshold: float = 60.0,
+                            batch_size: int = 32, concurrency=(1, 4)):
+    """Temporal-feature pipeline: video payloads -> one row per video with
+    motion energy, scene-cut count, and brightness range (see
+    :class:`VideoTemporalStage`)."""
+    return ds.map_batches(
+        VideoTemporalStage,
+        fn_constructor_kwargs={
+            "stride": stride, "cut_threshold": cut_threshold,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 class ImageResizeStage:
     """Actor-pool resize stage — REAL kernel (nearest-neighbor over raw RGB
     needs only numpy, no codec): payload in, resized payload out, metadata

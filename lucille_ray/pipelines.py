@@ -723,6 +723,78 @@ SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
 FROM bytes GROUP BY doc_id, frame_idx"""
 
 
+def video_temporal_q(sf_dir: str):
+    """Temporal video features over sampled frames: per-video motion energy
+    (mean/max consecutive sampled-frame delta), hard-threshold scene-cut
+    count, and brightness range."""
+    from .ops.multimodal import attach_fake_video, video_temporal_features
+
+    ds = video_temporal_features(
+        attach_fake_video(_documents(sf_dir, ["doc_id"]), n_frames=8, side=8),
+        stride=2, cut_threshold=60.0,
+    )
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_sampled": t["n_sampled"],
+                "motion_mean_r": pc.round(t["motion_mean"], 4),
+                "motion_max_r": pc.round(t["motion_max"], 4),
+                "cut_count": t["cut_count"],
+                "brightness_range_r": pc.round(t["brightness_range"], 4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_video_temporal() -> str:
+    """Twin of VideoTemporalStage over the fake frames. Frame f of doc i
+    tiles md5('vid-{i}-{f}') into 192 bytes (16 x 12 exact tiles), so every
+    192-pixel mean equals the 16-digest-byte mean — and both are exact
+    denominator-16 rationals in float64, so means, deltas, max-min, and the
+    sum-of-3-deltas/3 compose bit-identically to the numpy kernel. Sampled
+    frames are 0, 2, 4, 6; consecutive pairs (0,2), (2,4), (4,6)."""
+    return """WITH fr AS (
+  SELECT doc_id, fs.f AS frame_idx,
+         md5_number_upper('vid-' || CAST(doc_id AS VARCHAR) || '-'
+                          || CAST(fs.f AS VARCHAR)) AS hu,
+         md5_number_lower('vid-' || CAST(doc_id AS VARCHAR) || '-'
+                          || CAST(fs.f AS VARCHAR)) AS hl
+  FROM documents CROSS JOIN (SELECT unnest([0, 2, 4, 6]) AS f) fs
+),
+bytes AS (
+  SELECT doc_id, frame_idx, js.j AS j,
+         CASE WHEN js.j < 8 THEN (hu >> (8 * js.j)) & 255
+              ELSE (hl >> (8 * (js.j - 8))) & 255 END AS v
+  FROM fr CROSS JOIN (SELECT unnest(range(0, 16)) AS j) js
+),
+fmean AS (
+  SELECT doc_id, frame_idx, CAST(sum(v) AS DOUBLE) / 16.0 AS fm
+  FROM bytes GROUP BY doc_id, frame_idx
+),
+pairs AS (
+  SELECT a.doc_id, CAST(sum(abs(a.v - b.v)) AS DOUBLE) / 16.0 AS d
+  FROM bytes a JOIN bytes b
+    ON a.doc_id = b.doc_id AND a.j = b.j AND b.frame_idx = a.frame_idx + 2
+  GROUP BY a.doc_id, a.frame_idx
+),
+motion AS (
+  SELECT doc_id, sum(d) / 3.0 AS motion_mean, max(d) AS motion_max,
+         CAST(count(*) FILTER (WHERE d > 60.0) AS BIGINT) AS cut_count
+  FROM pairs GROUP BY doc_id
+),
+bright AS (
+  SELECT doc_id, max(fm) - min(fm) AS brange FROM fmean GROUP BY doc_id
+)
+SELECT m.doc_id, CAST(4 AS INT) AS n_sampled,
+       round(m.motion_mean, 4) AS motion_mean_r,
+       round(m.motion_max, 4) AS motion_max_r,
+       m.cut_count,
+       round(b.brange, 4) AS brightness_range_r
+FROM motion m JOIN bright b ON m.doc_id = b.doc_id"""
+
+
 def embedding_near_dups_q(sf_dir: str) -> pa.Table:
     """Embedding-cosine near-dup pairs — SQL-checkable via list_cosine_similarity."""
     import ray.data
@@ -1355,6 +1427,8 @@ def registry() -> Dict[str, tuple]:
     stage; the per-node search folds are documented at SEARCH_QUERIES."""
     out: Dict[str, tuple] = {
         # --- changed this round (r03) ---
+        "video_temporal": (video_temporal_q, _sql_video_temporal()),
+        "group_quantiles": (group_quantiles_q, _sql_group_quantiles()),
         "tfidf_keywords": (tfidf_keywords_q, _sql_tfidf_keywords()),
         "pmi_collocations": (pmi_collocations_q, _sql_pmi_collocations()),
         "sessionize": (sessionize_q, _sessionize_sql()),
@@ -1414,7 +1488,6 @@ def registry() -> Dict[str, tuple]:
             "top_terms": (top_terms_q, _sql_top_terms()),
             "pii_scrub": (pii_scrub_q, _sql_pii_scrub()),
             "curation_pipeline": (curation_pipeline_q, _sql_curation_pipeline()),
-            "group_quantiles": (group_quantiles_q, _sql_group_quantiles()),
             "kmv_distinct": (kmv_distinct_q, _sql_kmv_distinct()),
             "cms_frequencies": (cms_frequencies_q, _sql_cms_frequencies()),
             "stratified_sample": (stratified_sample_q, _sql_stratified_sample()),

@@ -683,6 +683,18 @@ def test_build_report_structure(ray_session, tmp_path):
     assert r["build_metrics"]["total_sec"] > 0
     assert all(s["status"] == "complete" for s in r["segments"])
     assert not any(s["compacted"] for s in r["segments"])
+    # per-stage Ray Data stats are parsed into structured per-operator dicts
+    staged = [s for s in r["segments"] if s.get("stages")]
+    assert staged, "no segment carried parsed stage stats"
+    for op in staged[0]["stages"]:
+        assert op["operator"] and op["tasks"] >= 1
+        assert op["wall_sec"] > 0 and op["remote_wall_sec"] >= 0
+    assert r["stage_totals"], "index-level stage rollup missing"
+    roll = {op["operator"]: op for op in r["stage_totals"]}
+    for name, op in roll.items():
+        per_seg = [o for s in staged for o in s["stages"]
+                   if o["operator"] == name]
+        assert op["tasks"] == sum(o["tasks"] for o in per_seg)
     compact_index(idx)
     r2 = build_report(idx)
     assert all(s["compacted"] for s in r2["segments"])

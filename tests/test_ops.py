@@ -404,6 +404,43 @@ def test_image_feature_stage(ray_session):
     assert len(np.unique(f1)) > 1  # payloads differ per doc
 
 
+def test_video_temporal_features(ray_session):
+    """Motion/brightness temporal features match a direct numpy recompute of
+    the sampled frames; scene-cut threshold routes counts correctly."""
+    import hashlib
+
+    from lucille_ray.ops.multimodal import (
+        attach_fake_video,
+        video_temporal_features,
+    )
+
+    ds = _docs_ds(["x"] * 12).select_columns(["doc_id"])
+    vids = attach_fake_video(ds, n_frames=8, side=8)
+    got = (
+        video_temporal_features(vids, stride=2, cut_threshold=60.0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == 12 and (got["n_sampled"] == 4).all()
+
+    def frame(i, f):
+        seed = hashlib.md5(f"vid-{i}-{f}".encode()).digest()
+        fb = 8 * 8 * 3
+        return np.frombuffer((seed * (fb // 16 + 1))[:fb], np.uint8)
+
+    for _, row in got.iterrows():
+        i = int(row["doc_id"])
+        sampled = np.stack([frame(i, f) for f in (0, 2, 4, 6)]).astype(np.int16)
+        means = sampled.mean(axis=1, dtype=np.float64)
+        deltas = np.abs(np.diff(sampled, axis=0)).mean(axis=1, dtype=np.float64)
+        assert row["motion_mean"] == deltas.mean()
+        assert row["motion_max"] == deltas.max()
+        assert row["cut_count"] == int((deltas > 60.0).sum())
+        assert row["brightness_range"] == means.max() - means.min()
+    # md5-derived frames differ, so motion is nonzero and doc-specific
+    assert (got["motion_mean"] > 0).all()
+    assert got["motion_mean"].nunique() > 1
+
+
 def test_grouped_topk_window_semantics(ray_session):
     import pandas as pd
     import ray.data
