@@ -1417,7 +1417,7 @@ def registry() -> Dict[str, tuple]:
     """name -> (callable(sf_dir), oracle_sql | None)
 
     Sized to the driver's check budget (~50 sampled entries, in dict order):
-    49 entries, NEW/CHANGED FIRST so a budget cut never skips fresh code.
+    50 entries, NEW/CHANGED FIRST so a budget cut never skips fresh code.
     Folded near-duplicate entries — the ops stay implemented + pytest-covered,
     they just share a driver row: minhash_lsh and minhash_dedup_pairs ride
     minhash_dedup_verified (the full signatures->bands->pairs->verify chain);
