@@ -142,7 +142,10 @@ def _conv_offsets(ds) -> Tuple[List[str], np.ndarray, np.ndarray]:
     range-partitioned :func:`_docmap_ranged` path instead."""
     import ray
 
-    refs = ds.map_batches(
+    # project BEFORE the scan: the counts pass needs 2 narrow columns, and
+    # select_columns pushes into ReadParquet so the text payload (the bulk of
+    # the bytes) is never decoded for this pass
+    refs = ds.select_columns(["conv_id", "turn_idx"]).map_batches(
         _conv_partial_counts, batch_format="pyarrow", batch_size=65536
     ).to_arrow_refs()
     parts = pa.concat_tables(ray.get(refs))
@@ -278,7 +281,9 @@ def _docmap_ranged(ds, num_segments_hint: int):
     from ray.data.aggregate import Max, Sum
 
     agg = (
-        ds.map_batches(_conv_partial_counts, batch_format="pyarrow", batch_size=65536)
+        ds.select_columns(["conv_id", "turn_idx"])  # prune text off the scan
+        .map_batches(_conv_partial_counts, batch_format="pyarrow",
+                     batch_size=65536)
         .groupby("conv_id")
         .aggregate(Sum("cnt"), Max("mx"), Sum("sm"))
     )
