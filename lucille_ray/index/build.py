@@ -766,10 +766,20 @@ def build_index(
     docmapped_root = os.path.join(index_dir, "docmapped")
     meta_path = os.path.join(index_dir, INDEX_META_FILE)
 
+    meta = None
+    fused_src = None
     if resume and os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-    else:
+        if meta.get("docmap") == "fused" and not all(
+            segment_complete(index_dir, s)
+            for s in range(meta["num_segments"])
+        ):
+            # fused builds keep no docmap checkpoint — a half-built fused
+            # index resumes by recomputing (it is single-segment by
+            # construction, so the segment WAS the checkpoint granularity)
+            meta = None
+    if meta is None:
         if os.path.isdir(docmapped_root):
             # a half-written docmap (no meta yet) must not be appended to
             import shutil
@@ -840,11 +850,39 @@ def build_index(
                 else:
                     lo = hi = 0
                 seg_bounds[str(s)] = [lo, hi]
+        fused = (
+            num_segments == 1
+            and os.environ.get("LR_FUSE_DOCMAP", "1") != "0"
+        )
         t0 = time.time()
-        mapped.write_parquet(docmapped_root, partition_cols=["seg"])
-        phase_metrics["docmap_sec"] = round(time.time() - t0, 3)
+        if fused:
+            # single segment: the docmapped parquet checkpoint would be a full
+            # corpus write + re-read with zero resume value (one segment means
+            # rebuild-on-crash either way) — stream the assigned Dataset
+            # straight into the segment's tokenize pipeline instead. Result
+            # metadata (doc_id -> conv_id, turn_idx) comes from an O(#convs)
+            # convmap (doc_id = base + turn_idx by construction), not an
+            # O(#turns) forward index.
+            fused_src = mapped
+            if mode == "driver":
+                convmap = pa.table(
+                    {"conv_id": convs, "base": pa.array(bases)}
+                )
+                pq.write_table(
+                    convmap, os.path.join(index_dir, "convmap.parquet")
+                )
+            else:
+                # ranged mode: the per-block base tables are already in the
+                # object store, sorted by base across blocks
+                ray.data.from_arrow_refs(base_refs).write_parquet(
+                    os.path.join(index_dir, "convmap.parquet")
+                )
+            phase_metrics["docmap_sec"] = round(time.time() - t0, 3)
+        else:
+            mapped.write_parquet(docmapped_root, partition_cols=["seg"])
+            phase_metrics["docmap_sec"] = round(time.time() - t0, 3)
+            _tick("docmap_write", t0)
         phase_metrics["docid_mode"] = mode
-        _tick("docmap_write", t0)
         meta = {
             "version": INDEX_FORMAT_VERSION,
             "fields": list(fields),
@@ -854,6 +892,7 @@ def build_index(
             "total_docs": total_docs,
             "seg_bounds": seg_bounds,
             "analyzer": "lower+[a-z0-9]",
+            "docmap": "fused" if fused else "parquet",
         }
         with open(meta_path, "w") as f:
             json.dump(meta, f, indent=1)
@@ -876,6 +915,7 @@ def build_index(
             seg_bounds=meta["seg_bounds"][str(seg)],
             layout=meta.get("layout", "term_partitioned"),
             piece_merge_rows=piece_merge_rows,
+            src_ds=fused_src,
         )
         phase_metrics[f"segment_{seg}_sec"] = round(time.time() - t0, 3)
         _tick(f"segment {seg}", t0)
@@ -1033,6 +1073,7 @@ def _build_segment(
     seg_bounds: List[int],
     layout: str = "doc_partitioned",
     piece_merge_rows: Optional[int] = None,
+    src_ds=None,
 ) -> None:
     import ray.data
     from ray.data.aggregate import Sum
@@ -1045,26 +1086,35 @@ def _build_segment(
     if os.path.isdir(seg_dir):
         shutil.rmtree(seg_dir)
     os.makedirs(seg_dir, exist_ok=True)
-    seg_input = os.path.join(docmapped_root, f"seg={seg}")
     lo, hi = seg_bounds
-    if not os.path.isdir(seg_input):
-        if lo != hi:
-            # the docmap says this segment holds docs [lo, hi) but its input
-            # directory is gone (e.g. docmapped/ deleted while index_meta.json
-            # survived) — committing an empty 'complete' manifest would silently
-            # serve an index missing all of those documents
-            raise ValueError(
-                f"segment {seg} input {seg_input} is missing but seg_bounds says "
-                f"docs [{lo}, {hi}) live there; delete {INDEX_META_FILE} (or the "
-                "whole index dir) to rebuild the docmap"
-            )
-        _write_manifest(index_dir, seg, seg_input, 0, 0, fields, empty=True)
-        return
-    if lo == hi:
-        _write_manifest(index_dir, seg, seg_input, 0, 0, fields, empty=True)
-        return
+    if src_ds is not None:
+        # fused docmap: the doc-id-assigned Dataset streams straight into the
+        # tokenize pipeline (no corpus round-trip through docmapped parquet)
+        seg_input = f"{docmapped_root}:fused"
+        if lo == hi:
+            _write_manifest(index_dir, seg, seg_input, 0, 0, fields, empty=True)
+            return
+        src = src_ds.select_columns(["doc_id", *fields])
+    else:
+        seg_input = os.path.join(docmapped_root, f"seg={seg}")
+        if not os.path.isdir(seg_input):
+            if lo != hi:
+                # the docmap says this segment holds docs [lo, hi) but its input
+                # directory is gone (e.g. docmapped/ deleted while index_meta.json
+                # survived) — committing an empty 'complete' manifest would silently
+                # serve an index missing all of those documents
+                raise ValueError(
+                    f"segment {seg} input {seg_input} is missing but seg_bounds says "
+                    f"docs [{lo}, {hi}) live there; delete {INDEX_META_FILE} (or the "
+                    "whole index dir) to rebuild the docmap"
+                )
+            _write_manifest(index_dir, seg, seg_input, 0, 0, fields, empty=True)
+            return
+        if lo == hi:
+            _write_manifest(index_dir, seg, seg_input, 0, 0, fields, empty=True)
+            return
 
-    src = ray.data.read_parquet(seg_input, columns=["doc_id", *fields])
+        src = ray.data.read_parquet(seg_input, columns=["doc_id", *fields])
 
     # -- postings: tokenize partials -> groupby shuffle -> encode -> parquet.
     # No extra sort: the sort-based groupby shuffle already emits key-clustered

@@ -331,10 +331,41 @@ class SegmentReader:
 
     def doc_meta(self, doc_ids: np.ndarray) -> pa.Table:
         src = self.manifest["input_path"]
+        if src.endswith(":fused"):
+            return self._doc_meta_from_convmap(doc_ids)
         ds = pads.dataset(src)
         cols = ["doc_id", "conv_id", "turn_idx"]
         return ds.to_table(
             columns=cols, filter=pads.field("doc_id").isin(pa.array(doc_ids))
+        )
+
+    def _doc_meta_from_convmap(self, doc_ids: np.ndarray) -> pa.Table:
+        """Fused-docmap indexes keep no O(#turns) forward index; the O(#convs)
+        convmap recovers (conv_id, turn_idx) arithmetically:
+        doc_id = base[conv] + turn_idx by construction."""
+        cm = getattr(self, "_convmap", None)
+        if cm is None:
+            index_dir = os.path.dirname(os.path.dirname(self.seg_dir))
+            t = pq.read_table(
+                os.path.join(index_dir, "convmap.parquet"),
+                columns=["conv_id", "base"],
+            )
+            t = t.take(pc.sort_indices(t["base"]))
+            cm = self._convmap = (
+                t["conv_id"].combine_chunks(),
+                t["base"].to_numpy().astype(np.int64),
+            )
+        convs, bases = cm
+        ids = np.asarray(doc_ids, dtype=np.int64)
+        idx = np.searchsorted(bases, ids, side="right") - 1
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "conv_id": convs.take(pa.array(idx, pa.int64())),
+                "turn_idx": pa.array(
+                    (ids - bases[idx]).astype(np.int32), pa.int32()
+                ),
+            }
         )
 
 

@@ -2,6 +2,7 @@
 scores) to the independent brute-force oracle — the north_rule correctness contract.
 Also covers checkpoint/resume and the per-turn text-equality invariant."""
 
+import json
 import os
 import shutil
 
@@ -442,6 +443,64 @@ def test_turn_idx_duplicate_detection(ray_session, tmp_path):
         build_index(
             ray.data.read_parquet(data), str(tmp_path / "dup_idx"), num_segments=1
         )
+
+
+def test_fused_docmap_rank_identity_and_no_roundtrip(built, oracle, tmp_path):
+    """Single-segment builds fuse the doc-id-assigned Dataset straight into
+    the tokenize pipeline (no docmapped parquet round-trip) and stay
+    rank+score-identical to the unfused build."""
+    data_dir, _, _ = built
+    ds = T.read_transcripts(data_dir)
+    fused_dir = str(tmp_path / "fused_idx")
+    build_index(ds, fused_dir, num_segments=1, batch_size=400)
+    assert not os.path.isdir(os.path.join(fused_dir, "docmapped"))
+    with open(os.path.join(fused_dir, "index_meta.json")) as f:
+        assert json.load(f)["docmap"] == "fused"
+
+    unfused_dir = str(tmp_path / "unfused_idx")
+    os.environ["LR_FUSE_DOCMAP"] = "0"
+    try:
+        build_index(ds, unfused_dir, num_segments=1, batch_size=400)
+    finally:
+        del os.environ["LR_FUSE_DOCMAP"]
+    assert os.path.isdir(os.path.join(unfused_dir, "docmapped"))
+
+    ef = SearchEngine(fused_dir, parallel=False)
+    eu = SearchEngine(unfused_dir, parallel=False)
+    for qs in QUERY_SET[::4]:
+        tf_ = ef.search(qs, k=10, with_meta=False)
+        tu = eu.search(qs, k=10, with_meta=False)
+        assert tf_.to_pydict() == tu.to_pydict()
+        _compare(ef, oracle, qs)
+    # result metadata comes from the O(#convs) convmap, not a forward index,
+    # and must match the docmapped join bit-for-bit
+    mf = ef.search("data", k=10)
+    mu = eu.search("data", k=10)
+    assert mf.to_pydict() == mu.to_pydict()
+    assert mf.column_names == ["doc_id", "conv_id", "turn_idx", "score"]
+
+
+def test_fused_docmap_resume_recomputes(built, tmp_path):
+    """A half-built fused index (complete meta, incomplete segment) resumes by
+    recomputing — never by trusting a docmap checkpoint that does not exist."""
+    data_dir, _, _ = built
+    ds = T.read_transcripts(data_dir)
+    index_dir = str(tmp_path / "fused_resume_idx")
+    build_index(ds, index_dir, num_segments=1, batch_size=400)
+    ref = SearchEngine(index_dir, parallel=False).search(
+        "data", k=5, with_meta=False
+    )
+    shutil.rmtree(os.path.join(index_dir, "segments"))
+    build_index(ds, index_dir, num_segments=1, batch_size=400)
+    again = SearchEngine(index_dir, parallel=False).search(
+        "data", k=5, with_meta=False
+    )
+    assert ref.to_pydict() == again.to_pydict()
+    # and a complete fused index resumes as a no-op (segment untouched)
+    man = os.path.join(index_dir, "segments", "seg-00000", "MANIFEST.json")
+    mtime = os.path.getmtime(man)
+    build_index(ds, index_dir, num_segments=1, batch_size=400)
+    assert os.path.getmtime(man) == mtime
 
 
 def test_missing_seg_input_with_docs_is_an_error(built, tmp_path):

@@ -21,7 +21,13 @@ from lucille_ray.query import Phrase, Term, parse, print_query
 _term_chars = st.characters(
     min_codepoint=0x20, max_codepoint=0x2FFF, exclude_characters=' "“”'
 )
-_terms = st.text(_term_chars, min_size=1, max_size=20)
+# ... and terms starting with a reserved operator token cannot round-trip
+# either: "OR"/"AND" prefixes fail the parse outright and "NOT..." parses as
+# Not(Term(rest)) — same behavior verified on the reference grammar
+# (QueryParser.scala infix/NOT tokens take precedence over term)
+_terms = st.text(_term_chars, min_size=1, max_size=20).filter(
+    lambda s: not s.startswith(("OR", "AND", "NOT"))
+)
 
 # Phrase bodies: printer escapes quotes/backslash; smart quotes are escaped on
 # print AND accepted escaped by the parser, so only sub-0x20 chars are off-limits
