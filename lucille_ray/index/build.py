@@ -149,14 +149,32 @@ def _conv_offsets(ds) -> Tuple[List[str], np.ndarray, np.ndarray]:
         _conv_partial_counts, batch_format="pyarrow", batch_size=65536
     ).to_arrow_refs()
     parts = pa.concat_tables(ray.get(refs))
-    merged = parts.group_by("conv_id").aggregate(
-        [("cnt", "sum"), ("mx", "max"), ("sm", "sum")]
-    )
-    merged = merged.take(pa.compute.sort_indices(merged["conv_id"]))
-    convs = merged["conv_id"].combine_chunks()  # stays Arrow; no Python list
-    counts = merged["cnt_sum"].to_numpy().astype(np.int64)
-    max_turn = merged["mx_max"].to_numpy().astype(np.int64)
-    turn_sum = merged["sm_sum"].to_numpy().astype(np.int64)
+    if parts.num_rows == 0:
+        empty = np.zeros(0, dtype=np.int64)
+        return pa.array([], pa.string()), empty, empty.copy()
+    # the merged table must end up conv-sorted anyway, so merge duplicates by
+    # sort + segment-reduce instead of a hash group_by: one Arrow sort of the
+    # partial rows plus numpy reduceat replaces the ~2s serial group_by the
+    # driver paid at 10M turns (this is the build's Amdahl term — every serial
+    # driver second costs the wide level 4x the ratio damage of the narrow one)
+    order = pa.compute.sort_indices(parts["conv_id"])
+    parts = parts.take(order)
+    conv_col = parts["conv_id"].combine_chunks()
+    n = len(conv_col)
+    if n == 1:
+        starts = np.zeros(1, dtype=np.int64)
+    else:
+        neq = pa.compute.not_equal(
+            conv_col.slice(1), conv_col.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(neq) + 1)).astype(np.int64)
+    cnt_all = parts["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mx_all = parts["mx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sm_all = parts["sm"].to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.add.reduceat(cnt_all, starts)
+    max_turn = np.maximum.reduceat(mx_all, starts)
+    turn_sum = np.add.reduceat(sm_all, starts)
+    convs = conv_col.take(pa.array(starts))  # stays Arrow; no Python list
     _validate_turn_density(convs, counts, max_turn, turn_sum)
     bases = np.zeros(len(convs), dtype=np.int64)
     np.cumsum(counts[:-1], out=bases[1:])
