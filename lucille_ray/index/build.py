@@ -883,8 +883,15 @@ def build_index(
             # O(#turns) forward index.
             fused_src = mapped
             if mode == "driver":
+                # cast to string: the partials arrive via polars large_string,
+                # and doc_meta output must concat with docmapped-backed
+                # segments (plain string) after an append
                 convmap = pa.table(
-                    {"conv_id": convs, "base": pa.array(bases)}
+                    {
+                        "conv_id": pa.compute.cast(convs, pa.string()),
+                        "base": pa.array(bases),
+                        "cnt": pa.array(counts),
+                    }
                 )
                 pq.write_table(
                     convmap, os.path.join(index_dir, "convmap.parquet")

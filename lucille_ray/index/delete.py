@@ -81,6 +81,20 @@ def delete_conversations(index_dir: str, conv_ids: Iterable[str]) -> int:
     doc_ids: list = []
     for seg_dir, manifest in _committed_segments(index_dir):
         src = manifest["input_path"]
+        if src.endswith(":fused"):
+            # fused-docmap segment: the O(#convs) convmap resolves each
+            # conversation to its dense doc range [base, base + cnt)
+            import pyarrow.parquet as pq
+
+            cm = pq.read_table(
+                os.path.join(index_dir, "convmap.parquet"),
+                columns=["conv_id", "base", "cnt"],
+            ).filter(pc.field("conv_id").isin(convs))
+            for base, cnt in zip(
+                cm["base"].to_pylist(), cm["cnt"].to_pylist()
+            ):
+                doc_ids.extend(range(int(base), int(base) + int(cnt)))
+            continue
         if not os.path.exists(src):
             raise ValueError(
                 f"cannot resolve conversations: docmapped input {src} for "

@@ -352,7 +352,9 @@ class SegmentReader:
             )
             t = t.take(pc.sort_indices(t["base"]))
             cm = self._convmap = (
-                t["conv_id"].combine_chunks(),
+                # plain string: output must concat with docmapped-backed
+                # segments' metadata after an append
+                pc.cast(t["conv_id"].combine_chunks(), pa.string()),
                 t["base"].to_numpy().astype(np.int64),
             )
         convs, bases = cm

@@ -503,6 +503,49 @@ def test_fused_docmap_resume_recomputes(built, tmp_path):
     assert os.path.getmtime(man) == mtime
 
 
+def test_fused_docmap_full_lifecycle(built, tmp_path):
+    """append -> delete_conversations -> compact on a FUSED-docmap index:
+    appended segments carry their own docmapped metadata (plain string) and
+    must concat with the fused segment's convmap-derived metadata
+    (large_string unless cast); deletes resolve conv -> doc ranges through
+    the convmap; compaction preserves the :fused manifest marker."""
+    import ray.data
+
+    from lucille_ray.index import compact_index, delete_conversations
+    from lucille_ray.index.build import append_index
+
+    data_dir, _, table = built
+    convs = sorted(set(table["conv_id"].to_pylist()))
+    cut = convs[int(len(convs) * 0.7)]
+    mask = pc.less(table["conv_id"], cut)
+    base_p = str(tmp_path / "fl_base.parquet")
+    app_p = str(tmp_path / "fl_app.parquet")
+    pq.write_table(table.filter(mask), base_p)
+    pq.write_table(table.filter(pc.invert(mask)), app_p)
+
+    idx = str(tmp_path / "fl_idx")
+    build_index(ray.data.read_parquet(base_p), idx, num_segments=1,
+                batch_size=400)
+    append_index(ray.data.read_parquet(app_p), idx, num_segments=2,
+                 batch_size=400)
+    e = SearchEngine(idx, parallel=False)
+    t = e.search("data", k=8)  # metadata join across fused + docmapped segs
+    assert t.num_rows == 8 and t.column_names == [
+        "doc_id", "conv_id", "turn_idx", "score"]
+
+    n = delete_conversations(idx, [convs[0], convs[1]])
+    assert n == 2 * T.TURNS_PER_CONV  # convmap-resolved dense doc ranges
+    e2 = SearchEngine(idx, parallel=False)
+    t2 = e2.search("data", k=8)
+    assert convs[0] not in t2["conv_id"].to_pylist()
+
+    compact_index(idx)
+    e3 = SearchEngine(idx, parallel=False)
+    t3 = e3.search("data", k=8)
+    assert convs[0] not in t3["conv_id"].to_pylist()
+    assert t3["conv_id"][0].as_py().startswith("conv-")
+
+
 def test_missing_seg_input_with_docs_is_an_error(built, tmp_path):
     """docmapped/ deleted while index_meta.json survives must raise, not write
     an empty 'complete' manifest that silently drops the segment's docs."""
