@@ -324,7 +324,8 @@ def minhash_dedup(ds, threshold: float = 0.8, **kw):
     return pairs.groupby(["a", "b"]).aggregate(Max("est_jaccard"))
 
 
-def dedup_components(pairs, *, max_iter: int = 50, num_partitions=None):
+def dedup_components(pairs, *, max_iter: int = 50, num_partitions=None,
+                     small_graph_edges: int = 1_000_000):
     """Connected components over a near-dup pair graph — the canonical-doc
     finishing step of a dedup sweep: every doc in a duplicate cluster gets the
     cluster's minimum doc id as its ``component`` label, so "keep one per
@@ -342,6 +343,14 @@ def dedup_components(pairs, *, max_iter: int = 50, num_partitions=None):
     * Rounds needed = component DIAMETER (near-dup clusters are shallow;
       a 100 TB sweep's clusters converge in a handful of rounds). Each round
       materializes, so lineage stays bounded.
+    * Small-graph fast path: each distributed round costs two hash joins plus
+      a groupby of FIXED overhead, so a graph whose edge list fits on the
+      driver (``<= small_graph_edges`` edges, 16 bytes/edge) runs the same
+      min-label fixpoint as one vectorized numpy loop instead — identical
+      labels, none of the per-round exchange cost. This is the broadcast-
+      small-side principle applied to the finishing step: dedup PAIR sets are
+      tiny relative to the corpus even at 100 TB; the distributed path
+      remains for graphs that aren't.
 
     ``pairs`` needs columns ``a``/``b``; returns ``(doc_id, component)`` for
     every doc that appears in at least one pair.
@@ -364,7 +373,8 @@ def dedup_components(pairs, *, max_iter: int = 50, num_partitions=None):
         )
 
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         import ray.data
 
         return ray.data.from_arrow(
@@ -374,6 +384,26 @@ def dedup_components(pairs, *, max_iter: int = 50, num_partitions=None):
                     "component": pa.array([], pa.int64()),
                 }
             )
+        )
+    if n_edges <= small_graph_edges:
+        import ray
+
+        tables = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        e = pa.concat_tables(tables)
+        s = e["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = e["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes, s_idx = np.unique(s, return_inverse=True)  # every node is a src
+        d_idx = np.searchsorted(nodes, d)
+        labels = nodes.copy()
+        for _ in range(max_iter):
+            prev = labels.copy()
+            np.minimum.at(labels, d_idx, labels[s_idx])
+            if np.array_equal(labels, prev):
+                break
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(nodes), "component": pa.array(labels)})
         )
 
     def init_labels(t: pa.Table) -> pa.Table:

@@ -562,6 +562,31 @@ def test_dedup_components_label_propagation(ray_session):
     assert keep["doc_id"].tolist() == [1, 7, 10, 20]
 
 
+def test_dedup_components_small_graph_matches_distributed(ray_session):
+    """The driver-side small-graph fast path and the distributed iterative
+    path reach the identical min-label fixpoint on a random multi-hop graph."""
+    import ray.data
+
+    from lucille_ray.ops import dedup_components
+
+    rng = np.random.default_rng(17)
+    a = rng.integers(0, 300, 400).astype(np.int64)
+    b = (a + rng.integers(1, 40, 400)).astype(np.int64)
+    pairs = pa.table({"a": pa.array(a), "b": pa.array(b)})
+    small = (
+        dedup_components(ray.data.from_arrow(pairs))  # fast path (default)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    dist = (
+        dedup_components(ray.data.from_arrow(pairs), small_graph_edges=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert small.equals(dist)
+    # per-component min labeling invariant
+    g = small.groupby("component")["doc_id"].min()
+    assert (g.index == g.values).all()
+
+
 def test_dedup_components_empty_pairs(ray_session):
     import ray.data
 
