@@ -497,12 +497,27 @@ class _ShingleSets:
         )
 
 
+def _jaccard_of_sets(sa, sb) -> np.ndarray:
+    """Exact distinct-shingle Jaccard per pair; both-empty defines 1.0."""
+    jac = np.empty(len(sa), dtype=np.float64)
+    for i in range(len(sa)):
+        x = np.frombuffer(sa[i] or b"", dtype=np.int64)
+        y = np.frombuffer(sb[i] or b"", dtype=np.int64)
+        if not x.size and not y.size:
+            jac[i] = 1.0
+            continue
+        inter = np.intersect1d(x, y, assume_unique=True).size
+        jac[i] = inter / (x.size + y.size - inter)
+    return jac
+
+
 def minhash_dedup_verified(
     ds,
     est_threshold: float = 0.3,
     jaccard_threshold: float = 0.5,
     *,
     num_partitions: int = 8,
+    small_pairs: int = 100_000,
     **kw,
 ):
     """The full LSH dedup pipeline: banded-LSH candidate pairs (recall stage)
@@ -512,13 +527,74 @@ def minhash_dedup_verified(
     Distributed shape: candidate pairs are tiny relative to the corpus; each
     side's shingle set arrives via a hash `join` against the per-doc shingle
     table (no driver materialization of texts). Both-empty docs define
-    jaccard = 1.0 (identical) — the SQL twin mirrors every rule."""
+    jaccard = 1.0 (identical) — the SQL twin mirrors every rule.
+
+    Small-pairs fast path: a candidate set of ``<= small_pairs`` pairs
+    broadcasts its needed doc-id set instead of paying two chained hash joins
+    (each an actor-pool exchange of fixed overhead) — the shingle pass filters
+    to the pair docs in-flight and the bounded verification runs on the
+    driver. Identical output; the join path remains for pair sets past the
+    bound."""
     cands = minhash_dedup(ds, threshold=est_threshold, **kw)
     sh_kw = {k: v for k, v in kw.items() if k in ("shingle_k", "text_col", "id_col")}
     shingles = ds.map_batches(
         _ShingleSets, fn_constructor_kwargs=sh_kw, batch_format="pyarrow",
         concurrency=(1, 4),
     )
+
+    import ray
+    import ray.data
+
+    from .joins import drop_empty_blocks
+
+    cands = drop_empty_blocks(cands.materialize())
+    if cands.count() <= small_pairs:
+        id_col = sh_kw.get("id_col", "doc_id")
+        tabs = [t for t in ray.get(cands.to_arrow_refs()) if t.num_rows]
+        out_schema = pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+        )
+        if not tabs:
+            return ray.data.from_arrow(out_schema.empty_table())
+        pairs_t = pa.concat_tables(tabs)
+        a_ids = pairs_t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b_ids = pairs_t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        need = np.unique(np.concatenate([a_ids, b_ids]))
+        need_ref = ray.put(need)
+
+        def keep_needed(t: pa.Table) -> pa.Table:
+            needed = ray.get(need_ref)
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.clip(np.searchsorted(needed, ids), 0, needed.size - 1)
+            return t.filter(pa.array(needed[idx] == ids))
+
+        sh_tabs = [
+            t for t in ray.get(
+                shingles.map_batches(
+                    keep_needed, batch_format="pyarrow"
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        sh_t = pa.concat_tables(sh_tabs)
+        sh_ids = sh_t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(sh_ids, kind="stable")
+        sh_ids = sh_ids[order]
+        sh_sets = sh_t["shingles"].take(pa.array(order)).to_pylist()
+        sa = [sh_sets[j] for j in np.searchsorted(sh_ids, a_ids)]
+        sb = [sh_sets[j] for j in np.searchsorted(sh_ids, b_ids)]
+        jac = _jaccard_of_sets(sa, sb)
+        keep = jac >= jaccard_threshold
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array(a_ids[keep]),
+                    "b": pa.array(b_ids[keep]),
+                    "jaccard": pa.array(jac[keep]),
+                },
+                schema=out_schema,
+            )
+        )
 
     def rename(col):
         def fn(t: pa.Table) -> pa.Table:
@@ -528,24 +604,20 @@ def minhash_dedup_verified(
 
     a_side = shingles.map_batches(rename("a"), batch_format="pyarrow")
     b_side = shingles.map_batches(rename("b"), batch_format="pyarrow")
-    joined = cands.join(
+    j1 = cands.join(
         a_side, join_type="inner", num_partitions=num_partitions, on=("a",)
-    ).join(b_side, join_type="inner", num_partitions=num_partitions, on=("b",))
+    )
+    # a join's own zero-row output partitions are column-less too — strip
+    # them before they become the next join's left side
+    j1 = drop_empty_blocks(j1.materialize())
+    joined = j1.join(
+        b_side, join_type="inner", num_partitions=num_partitions, on=("b",)
+    )
 
     def verify(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False)
         b = t["b"].to_numpy(zero_copy_only=False)
-        sa = t["sh_a"].to_pylist()
-        sb = t["sh_b"].to_pylist()
-        jac = np.empty(len(a), dtype=np.float64)
-        for i in range(len(a)):
-            x = np.frombuffer(sa[i] or b"", dtype=np.int64)
-            y = np.frombuffer(sb[i] or b"", dtype=np.int64)
-            if not x.size and not y.size:
-                jac[i] = 1.0
-                continue
-            inter = np.intersect1d(x, y, assume_unique=True).size
-            jac[i] = inter / (x.size + y.size - inter)
+        jac = _jaccard_of_sets(t["sh_a"].to_pylist(), t["sh_b"].to_pylist())
         keep = jac >= jaccard_threshold
         return pa.table(
             {

@@ -12,6 +12,7 @@ from lucille_ray.ops import (
     image_features,
     knn_brute,
     minhash_dedup,
+    minhash_dedup_verified,
     ngram_jaccard,
     simhash_signatures,
 )
@@ -49,6 +50,30 @@ def test_minhash_finds_planted_near_duplicates(ray_session):
     # sanity: jaccard of the planted pair really is high; random pairs are not
     assert ngram_jaccard(base, base + ["extra"]) > 0.8
     assert ngram_jaccard(texts[0].split(), texts[1].split()) < 0.3
+
+
+def test_minhash_verified_small_and_join_paths_identical(ray_session):
+    """The broadcast small-pairs verify path and the chained-hash-join path
+    keep the exact same (a, b, jaccard) rows."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest tonight").split()
+    texts = []
+    for i in range(16):
+        texts.append(" ".join(np.random.default_rng(i).permutation(base)[:12]))
+    texts += [" ".join(base), " ".join(base) + " extra"]
+    ds = _docs_ds(texts)
+    small = (
+        minhash_dedup_verified(ds, est_threshold=0.3, jaccard_threshold=0.4,
+                               num_perm=64, bands=16)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    joined = (
+        minhash_dedup_verified(ds, est_threshold=0.3, jaccard_threshold=0.4,
+                               num_perm=64, bands=16, small_pairs=0,
+                               num_partitions=2)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert len(small) > 0 and small.equals(joined)
 
 
 def test_simhash_deterministic_and_similarity_sensitive(ray_session):
