@@ -1,0 +1,283 @@
+"""Block-max conjunction top-k: score-skipping for pure-AND queries.
+
+The plain conjunctive evaluator (eval.py `_eval_conjunctive`) already prunes
+non-anchor terms to blocks overlapping the anchor's doc positions, but it must
+fully decode the RAREST term — for a hot-AND-hot conjunction over a 10M-turn
+segment that is two multi-million-posting decodes per query (measured 227-377 ms
+at the 10M index; BASELINE.md "10M-turn serving latency").
+
+This module skips most of that decode for top-k queries, with the same exact
+contract as wand.py: skipping must NEVER change the returned ranks or scores.
+
+Per segment, for a query that is a pure conjunction of single-token terms
+(possibly boosted / field-routed):
+
+1. fetch raw posting BLOCKS for every term; any term absent from the segment
+   makes the conjunction empty;
+2. anchor = the term with the fewest postings. For every anchor block b compute
+   a conjunction upper bound ``conj_ub(b) = σ_anchor(b) + Σ_j maxσ_j over
+   [first_b, last_b]`` where σ is wand.py's per-block BM25 bound and the inner
+   max is an interval query on a piecewise-constant step function built from
+   term j's block ranges (a sparse-table RMQ over the event-sweep values, built
+   once per (field, term) and cached on the reader — boost factors out because
+   σ scales linearly in it). Anchor blocks where some term has NO overlapping
+   block are infeasible (no doc in them can match every term) and are dropped;
+3. process anchor blocks in DESCENDING conj_ub order, in geometrically growing
+   chunks: decode the chunk's anchor blocks, selectively decode every other
+   term around those candidate docs (wand's `_decode_candidates` point-interval
+   machinery), intersect, and score the surviving docs exactly — per-term BM25
+   accumulated in query-clause order, bit-identical to SegmentEval._bool;
+4. after each chunk, θ = the k-th best pooled score; stop as soon as the best
+   remaining block's conj_ub < θ − ε. Every unprocessed matching doc lives in
+   exactly one unprocessed anchor block, its true score is ≤ that block's
+   conj_ub < θ ≤ the final k-th score, so it cannot enter the top-k even by
+   tie-break (strictly below). ε guards the same float-associativity noise
+   between bound-sum and score-sum that wand.py's θ−ε does (the step-function
+   cumsum may cancel, but only by ~1e-13 against scores O(1-100)).
+
+Worst case (terms that never co-occur, θ never established) degrades to the
+plain path's work in O(log #blocks) chunk rounds; best case (hot terms whose
+high-tf co-occurrences concentrate in a few blocks) decodes a few hundred
+postings instead of millions. ``tests/test_bmconj.py`` asserts rank+score
+identity vs the plain evaluator over fixed shapes and randomized corpora, plus
+a decode-counting proof that skipping actually skips.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..analysis import DEFAULT_FIELD
+from ..query import nodes as qn
+from .eval import B, EMPTY, EvalContext, K1, simple_term_of, top_k
+from .wand import (
+    THETA_EPS,
+    _bm25_exact,
+    _decode_candidates,
+    _sorted2,
+    _term_block_meta,
+)
+
+#: first chunk of anchor blocks decoded per round (doubles every round, so the
+#: no-pruning worst case pays O(log #blocks) rounds of overhead)
+CONJ_CHUNK0 = 4
+
+#: cached step-function RMQ tables per reader (hot terms only; FIFO-evicted)
+STEPFN_CACHE_ENTRIES = 32
+
+
+def conj_parts(
+    q: qn.Query, field: str = DEFAULT_FIELD
+) -> Optional[Tuple[List[Tuple[str, str, float]], float]]:
+    """Match the conjunction shapes eligible for block-max skipping:
+    (Group/Boost/Field)* wrapping an And whose children are ALL simple
+    single-token positive terms. Returns ((field, term, boost) parts in clause
+    order, root scale) or None. UnaryPlus / Not children fall back (eval
+    accumulates UnaryPlus musts ahead of the other clauses, so the float order
+    differs); duplicate terms fall back (eval sums duplicate clauses)."""
+    scale = 1.0
+    while isinstance(q, (qn.Group, qn.Boost, qn.Field)):
+        if isinstance(q, qn.Boost):
+            scale *= float(q.weight)
+        elif isinstance(q, qn.Field):
+            field = q.field
+        q = q.q
+    if not isinstance(q, qn.And) or len(q.qs) < 2:
+        return None
+    parts: List[Tuple[str, str, float]] = []
+    seen = set()
+    for c in q.qs:
+        s = simple_term_of(c, field)
+        if s is None:
+            return None
+        f, t, b = s
+        if (f, t) in seen:
+            return None
+        seen.add((f, t))
+        parts.append(s)
+    if scale <= 0 or any(b <= 0 for _f, _t, b in parts):
+        return None  # non-positive boosts flip the bound direction
+    return parts, scale
+
+
+class _StepMax:
+    """Interval-max queries over a term's piecewise-constant block-bound
+    function: value at doc x = Σ σ(block) over blocks whose [first, last]
+    covers x (overlapping piece-merged blocks sum — looser than max, still an
+    upper bound on the term's contribution at x). Backed by a sparse-table RMQ
+    so each anchor block's [first, last] max is O(1)."""
+
+    __slots__ = ("xs", "levels")
+
+    def __init__(self, firsts: np.ndarray, lasts: np.ndarray, ub: np.ndarray):
+        xs = np.concatenate([firsts, lasts + 1])
+        deltas = np.concatenate([ub, -ub])
+        order = np.argsort(xs, kind="stable")
+        self.xs = xs[order]
+        vals = np.cumsum(deltas[order])
+        levels = [vals]
+        width = 1
+        while width < vals.size:
+            prev = levels[-1]
+            levels.append(np.maximum(prev[:-width], prev[width:]))
+            width <<= 1
+        self.levels = levels
+
+    def interval_max(self, qlo: np.ndarray, qhi: np.ndarray) -> np.ndarray:
+        """Max function value over doc range [qlo, qhi] (inclusive), per query.
+        Zero-width event slots only ever ADD candidate values (max can't drop),
+        so duplicate event positions stay admissible."""
+        # slot containing x: the last event position <= x
+        i0 = np.searchsorted(self.xs, qlo, side="right") - 1
+        i1 = np.searchsorted(self.xs, qhi, side="right") - 1
+        out = np.zeros(qlo.size, dtype=np.float64)
+        live = i1 >= 0  # i1 < 0: range ends before the first block — value 0
+        if not live.any():
+            return out
+        lo = np.clip(i0[live], 0, None)  # before the first event the value is 0
+        hi = i1[live]
+        length = hi - lo + 1
+        # exact floor(log2) for int64 lengths (frexp: n = m * 2^e, 0.5 <= m < 1)
+        j = (np.frexp(length.astype(np.float64))[1] - 1).astype(np.int64)
+        res = np.empty(lo.size, dtype=np.float64)
+        for jj in np.unique(j):
+            sel = j == jj
+            lvl = self.levels[jj]
+            w = 1 << int(jj)
+            res[sel] = np.maximum(lvl[lo[sel]], lvl[hi[sel] - w + 1])
+        out[live] = res
+        return out
+
+
+def _stepfn(reader, ctx: EvalContext, field: str, term: str, rb) -> _StepMax:
+    """Per-(field, term) step-function RMQ over UNBOOSTED block bounds, cached
+    on the reader (idf/avgdl are per-index constants, same convention as
+    wand.py's score cache; boost is applied by the caller)."""
+    cache = getattr(reader, "_conj_stepfn_cache", None)
+    if cache is None:
+        cache = reader._conj_stepfn_cache = {}
+    sf = cache.get((field, term))
+    if sf is None:
+        firsts, lasts, max_tf, dl_min = _term_block_meta(reader, field, term, rb)
+        avgdl = ctx.avgdl.get(field) or 1.0
+        idf = ctx.idf(field, term)
+        ub = idf * max_tf * (K1 + 1.0) / (max_tf + K1 * (1.0 - B + B * dl_min / avgdl))
+        sf = _StepMax(firsts, lasts, ub)
+        cache[(field, term)] = sf
+        if len(cache) > STEPFN_CACHE_ENTRIES:
+            cache.pop(next(iter(cache)))
+    return sf
+
+
+def conj_top_k(
+    reader, ctx: EvalContext, parts: List[Tuple[str, str, float]], k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact top-k of a conjunction of simple terms over one segment, decoding
+    only anchor blocks whose conjunction upper bound can still beat the running
+    k-th best score (and other terms only around those candidates)."""
+    by_field: dict = {}
+    for field, term, _boost in parts:
+        by_field.setdefault(field, []).append(term)
+    raw = {
+        (f, t): blocks
+        for f, ts in by_field.items()
+        for t, blocks in reader.raw_blocks_many(f, ts).items()
+    }
+    metas = []  # per part: (field, term, boost, rb, firsts, lasts, ub) + size
+    sizes = []
+    for field, term, boost in parts:
+        rb = raw.get((field, term))
+        if rb is None or not len(rb):
+            return EMPTY  # a required term absent from the segment
+        firsts, lasts, max_tf, dl_min = _term_block_meta(reader, field, term, rb)
+        avgdl = ctx.avgdl.get(field) or 1.0
+        idf = ctx.idf(field, term)
+        if idf <= 0.0:
+            return EMPTY  # df == 0 globally: required term matches nothing
+        ub = boost * idf * max_tf * (K1 + 1.0) / (
+            max_tf + K1 * (1.0 - B + B * dl_min / avgdl)
+        )
+        metas.append((field, term, boost, rb, firsts, lasts, ub))
+        sizes.append(int(rb.ns.sum()))
+
+    anchor = int(np.argmin(sizes))
+    a_field, a_term, a_boost, a_rb, a_firsts, a_lasts, a_ub = metas[anchor]
+    others = [i for i in range(len(parts)) if i != anchor]
+
+    # conjunction upper bound per anchor block; infeasible blocks dropped
+    conj_ub = a_ub.astype(np.float64, copy=True)
+    feasible = np.ones(conj_ub.size, dtype=bool)
+    for j in others:
+        f_j, t_j, boost_j, rb_j, *_ = metas[j]
+        mx = _stepfn(reader, ctx, f_j, t_j, rb_j).interval_max(a_firsts, a_lasts)
+        # a real overlapping block has ub > 0 (idf > 0, max_tf >= 1); zero means
+        # no coverage anywhere in the anchor block's doc range
+        feasible &= mx > 0.0
+        conj_ub += boost_j * mx
+    idx = np.flatnonzero(feasible)
+    if idx.size == 0:
+        return EMPTY
+    order = idx[np.argsort(-conj_ub[idx], kind="stable")]
+
+    # ascending-size fetch order for the early-exit intersection
+    others_by_size = sorted(others, key=lambda j: sizes[j])
+
+    pool_docs: List[np.ndarray] = []
+    pool_scores: List[np.ndarray] = []
+    pooled = 0
+    theta = -np.inf
+    pos = 0
+    chunk = CONJ_CHUNK0
+    while pos < order.size:
+        if pooled >= k:
+            theta = float(
+                -np.partition(-np.concatenate(pool_scores), k - 1)[k - 1]
+            )
+            if conj_ub[order[pos]] < theta - THETA_EPS:
+                break  # descending order: every remaining block is below θ too
+        take = order[pos: pos + chunk]
+        pos += take.size
+        chunk *= 2
+        mask = np.zeros(len(a_rb), dtype=bool)
+        mask[take] = True
+        docs_a, tfs_a = _sorted2(a_rb.decode(False, keep=mask))
+        cand = docs_a
+        got: dict = {}
+        for j in others_by_size:
+            gj = _decode_candidates(reader, ctx, metas[j], cand, cand + 1)
+            if gj is None:
+                cand = EMPTY[0]
+                break
+            dj, _sj = gj
+            if dj.size == 0:
+                cand = EMPTY[0]
+                break
+            got[j] = gj
+            keep_idx = np.searchsorted(dj, cand)
+            keep_idx_c = np.clip(keep_idx, 0, dj.size - 1)
+            cand = cand[dj[keep_idx_c] == cand]
+            if cand.size == 0:
+                break
+        if cand.size == 0:
+            continue
+        # exact scores, accumulated in query-clause order — the same float
+        # addition sequence as SegmentEval._bool's `scores += ...` loop
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for i, (f_i, t_i, boost_i) in enumerate(parts):
+            if i == anchor:
+                at = np.searchsorted(docs_a, cand)
+                s_i = _bm25_exact(
+                    reader, ctx, f_i, t_i, boost_i, cand, tfs_a[at], full=False
+                )
+            else:
+                dj, sj = got[i]
+                s_i = sj[np.searchsorted(dj, cand)]
+            scores += s_i
+        pool_docs.append(cand)
+        pool_scores.append(scores)
+        pooled += cand.size
+    if not pool_docs:
+        return EMPTY
+    return top_k(np.concatenate(pool_docs), np.concatenate(pool_scores), k)

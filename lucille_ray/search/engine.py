@@ -109,10 +109,14 @@ class SegmentScorer:
         """Evaluate across this scorer's segments; local top-k unless ``k`` is
         None (match-all / corpus-filtering mode). Disjunctions and m-of-n
         MinimumMatch over simple terms with finite k take the block-max WAND
-        score-skipping path (exact by construction; see wand.py)."""
+        score-skipping path (exact by construction; see wand.py); pure
+        conjunctions of simple terms take the block-max conjunction path
+        (bmconj.py)."""
+        from .bmconj import conj_parts, conj_top_k
         from .wand import wand_parts, wand_top_k
 
         wand = wand_parts(query) if k is not None else None
+        conj = conj_parts(query) if k is not None and wand is None else None
         all_docs, all_scores = [], []
         for r in self.readers:
             if r.doc_count == 0:
@@ -123,6 +127,11 @@ class SegmentScorer:
                 # evaluator until a rewrite purges its tombstones
                 parts, scale, min_match = wand
                 docs, scores = wand_top_k(r, ctx, parts, k, min_match)
+                if scale != 1.0:
+                    scores = scores * scale
+            elif conj is not None and r.deleted is None:
+                parts, scale = conj
+                docs, scores = conj_top_k(r, ctx, parts, k)
                 if scale != 1.0:
                     scores = scores * scale
             else:
