@@ -151,8 +151,19 @@ def run_bench(num_cpus: int, turns: int, sf_dir: str) -> dict:
     results["query_p50_sec"] = round(lat[len(lat) // 2], 4)
     results["query_p95_sec"] = round(lat[int(len(lat) * 0.95)], 4)
     results["query_qps"] = round(len(lat) / sum(lat), 1)
+    # batched serving throughput: the whole query set in flight at once via
+    # search_many (one resolve+score round-trip per scorer for the full batch
+    # instead of a driver round-trip per query) — the serving-under-load number
+    batch = QUERY_SET * 4
+    qps_batch = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        engine.search_many(batch, k=10)
+        qps_batch = max(qps_batch, len(batch) / (time.perf_counter() - t0))
+    results["query_qps_batch"] = round(qps_batch, 1)
     log(f"[bench] query p50={results['query_p50_sec']*1000:.1f}ms "
-        f"p95={results['query_p95_sec']*1000:.1f}ms")
+        f"p95={results['query_p95_sec']*1000:.1f}ms "
+        f"qps={results['query_qps']} batch_qps={results['query_qps_batch']}")
     engine.shutdown()
 
     # -- 3. documents-derived pipeline at the sf dir (driver-visible tables) --

@@ -116,7 +116,14 @@ class SegmentScorer:
         from .wand import wand_parts, wand_top_k
 
         wand = wand_parts(query) if k is not None else None
-        conj = conj_parts(query) if k is not None and wand is None else None
+        # LR_BMCONJ=0 pins eligible conjunctions to the plain evaluator
+        # (A/B measurement + safety valve, like LR_FUSE_DOCMAP)
+        conj = (
+            conj_parts(query)
+            if k is not None and wand is None
+            and os.environ.get("LR_BMCONJ", "1") != "0"
+            else None
+        )
         all_docs, all_scores = [], []
         for r in self.readers:
             if r.doc_count == 0:

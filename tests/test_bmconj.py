@@ -228,3 +228,19 @@ def test_conj_after_delete_falls_back_and_matches(spiked, ray_session, tmp_path_
     engine = SearchEngine(idx, parallel=False)
     got = engine.search("alpha AND beta", k=10, with_meta=True)
     assert not set(got["conv_id"].to_pylist()) & set(victims)
+
+
+def test_lr_bmconj_toggle_identical(built, ray_session, monkeypatch):
+    """LR_BMCONJ=0 pins eligible conjunctions to the plain evaluator; answers
+    (ranks AND scores) must be identical either way through the full engine."""
+    engine = SearchEngine(built, parallel=False)
+    on = {}
+    monkeypatch.setenv("LR_BMCONJ", "1")
+    for qs in AND_QUERIES:
+        t = engine.search(qs, k=10, with_meta=False)
+        on[qs] = (t["doc_id"].to_pylist(), t["score"].to_pylist())
+    monkeypatch.setenv("LR_BMCONJ", "0")
+    for qs in AND_QUERIES:
+        t = engine.search(qs, k=10, with_meta=False)
+        assert t["doc_id"].to_pylist() == on[qs][0], qs
+        np.testing.assert_array_equal(t["score"].to_pylist(), on[qs][1])
