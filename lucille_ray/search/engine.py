@@ -279,6 +279,34 @@ class SearchEngine:
         q = parse(query) if isinstance(query, str) else query
         reqs = collect_term_requests(q)
         resolved_list = self._call("resolve", [(reqs,) for _ in self._scorers()])
+        return self._merge_resolved(q, reqs, resolved_list)
+
+    def plan_many(
+        self, queries: Sequence[QueryLike]
+    ) -> List[Tuple[qn.Query, TermRequests, EvalContext]]:
+        """Plan a batch with ONE driver round-trip: all (query, scorer) resolve
+        futures in flight at once instead of a blocking ray.get per query."""
+        parsed = [parse(q) if isinstance(q, str) else q for q in queries]
+        reqs_list = [collect_term_requests(q) for q in parsed]
+        scorers = self._scorers()
+        if not self.parallel:
+            flat = [scorers[0].resolve(reqs) for reqs in reqs_list]
+            per_query = [[r] for r in flat]
+        else:
+            import ray
+
+            futs = [a.resolve.remote(reqs) for reqs in reqs_list for a in scorers]
+            flat = ray.get(futs)
+            ns = len(scorers)
+            per_query = [flat[i * ns:(i + 1) * ns] for i in range(len(parsed))]
+        return [
+            self._merge_resolved(q, reqs, resolved)
+            for q, reqs, resolved in zip(parsed, reqs_list, per_query)
+        ]
+
+    def _merge_resolved(
+        self, q: qn.Query, reqs: TermRequests, resolved_list: list
+    ) -> Tuple[qn.Query, TermRequests, EvalContext]:
         expanded: Dict[ExpansionSpec, set] = {}
         df: Dict[Tuple[str, str], int] = {}
         for exp, dfs in resolved_list:
@@ -344,8 +372,9 @@ class SearchEngine:
     def search_many(
         self, queries: Sequence[QueryLike], k: int = 10
     ) -> List[Tuple[np.ndarray, np.ndarray]]:
-        """Batch scoring: one resolve+score round-trip per scorer for all queries."""
-        plans = [self.plan(query) for query in queries]
+        """Batch scoring: one batched resolve round-trip + one score round-trip
+        for the whole query set (not a driver round-trip per query)."""
+        plans = self.plan_many(queries)
         items = [[(q, reqs, ctx, k) for (q, reqs, ctx) in plans] for _ in self._scorers()]
         results = self._call("score_many", [(batch,) for batch in items])
         out = []
