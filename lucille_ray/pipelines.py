@@ -1390,10 +1390,16 @@ def search_after_delete_q(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": t["doc_id"], "score_r": pc.round(t["score"], 4)})
 
 
-def filter_all_matches_q(sf_dir: str) -> pa.Table:
-    """Corpus filtering: EVERY doc matching the query (no top-k cut)."""
-    t = engine_for(sf_dir).match_all("join AND hash")
-    return pa.table({"doc_id": t["doc_id"], "score_r": pc.round(t["score"], 4)})
+def filter_all_matches_q(sf_dir: str):
+    """Corpus filtering: EVERY doc matching the query (no top-k cut), flowing
+    through the STREAMING match path (scorer tables -> from_arrow_refs ->
+    map_batches) so the match set never gathers on the driver."""
+    ds = engine_for(sf_dir).match_all_stream("join AND hash")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "score_r": pc.round(t["score"], 4)})
+
+    return ds.map_batches(fin, batch_format="pyarrow")
 
 # nested boolean: Or( And(Group(join|hash), Group(scan|merge)), UnaryMinus(slow) )
 # -> match docs of the And part, excluding 'slow'

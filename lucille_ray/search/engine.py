@@ -162,6 +162,23 @@ class SegmentScorer:
         """[(query, reqs, ctx, k)] -> [(docs, scores)] — one round-trip per batch."""
         return [self.score(*item) for item in items]
 
+    def match_all_table(
+        self, query: qn.Query, reqs: TermRequests, ctx: EvalContext,
+        with_meta: bool = False,
+    ) -> pa.Table:
+        """This scorer's segments' full match set as ONE Arrow table (doc_id
+        ascending) — the block the streaming corpus filter hands to Ray Data."""
+        docs, scores = self.score(query, reqs, ctx, None)
+        t = pa.table(
+            {"doc_id": pa.array(docs, pa.int64()),
+             "score": pa.array(scores, pa.float64())}
+        )
+        if with_meta and docs.size:
+            meta = self.doc_meta(docs)
+            t = t.join(meta, keys="doc_id", join_type="left outer").sort_by("doc_id")
+            t = t.select(["doc_id", "conv_id", "turn_idx", "score"])
+        return t
+
     def doc_meta(self, doc_ids: np.ndarray) -> pa.Table:
         tables = []
         for r in self.readers:
@@ -358,6 +375,26 @@ class SearchEngine:
                 {"doc_id": pa.array(docs, pa.int64()), "score": pa.array(scores)}
             )
         return self._to_table(docs, scores, True)
+
+    def match_all_stream(self, query: QueryLike, *, with_meta: bool = False):
+        """Corpus filtering as a STREAMING ``ray.data.Dataset``: each scorer
+        materializes its segments' matches as one Arrow table in the object
+        store and the result is assembled with ``from_arrow_refs`` — the match
+        set never lands on the driver. This is the 100-TB curation shape: feed
+        the returned Dataset straight into ``map_batches`` / joins /
+        ``write_parquet`` (``match_all`` gathers, so it is for small results)."""
+        import ray.data as rd
+
+        q, reqs, ctx = self.plan(query)
+        if not self.parallel:
+            return rd.from_arrow(
+                self._scorers()[0].match_all_table(q, reqs, ctx, with_meta)
+            )
+        refs = [
+            a.match_all_table.remote(q, reqs, ctx, with_meta)
+            for a in self._scorers()
+        ]
+        return rd.from_arrow_refs(refs)
 
     def suggest(self, query: QueryLike, k: int = 10, *, with_meta: bool = True) -> pa.Table:
         """Search-as-you-type: rewrite the last positional Term into

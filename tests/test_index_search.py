@@ -801,3 +801,23 @@ def test_build_report_structure(ray_session, tmp_path):
     r2 = build_report(idx)
     assert all(s["compacted"] for s in r2["segments"])
     assert r2["totals"]["posting_rows"] <= r["totals"]["posting_rows"]
+
+
+def test_match_all_stream_matches_gathered(built, ray_session):
+    """match_all_stream (Dataset from scorer-table refs) == match_all (gathered),
+    in both engine modes, with and without metadata."""
+    for parallel in (False, True):
+        engine = SearchEngine(built[1], parallel=parallel)
+        try:
+            for qs in ("data AND query", "xylophone42", "nosuchterm"):
+                got = engine.match_all(qs)
+                ds = engine.match_all_stream(qs)
+                st = ds.sort("doc_id").take_all()
+                assert [r["doc_id"] for r in st] == got["doc_id"].to_pylist(), (
+                    parallel, qs)
+                assert [r["score"] for r in st] == got["score"].to_pylist()
+            meta = engine.match_all_stream("xylophone42", with_meta=True)
+            row = meta.take(1)[0]
+            assert set(row) == {"doc_id", "conv_id", "turn_idx", "score"}
+        finally:
+            engine.shutdown()
