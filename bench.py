@@ -161,10 +161,23 @@ def run_bench(num_cpus: int, turns: int, sf_dir: str) -> dict:
         engine.search_many(batch, k=10)
         qps_batch = max(qps_batch, len(batch) / (time.perf_counter() - t0))
     results["query_qps_batch"] = round(qps_batch, 1)
+    engine.shutdown()
+    # replicated serving: stripe the same batch across replica scorer sets —
+    # the shard-replication QPS lever a real deployment pulls (capped to what
+    # the cluster can schedule)
+    rep = SearchEngine(index_dir, parallel=True, replicas=4)
+    rep.search("data", k=10, with_meta=False)
+    qps_rep = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rep.search_many(batch, k=10)
+        qps_rep = max(qps_rep, len(batch) / (time.perf_counter() - t0))
+    results["query_qps_batch_rep4"] = round(qps_rep, 1)
+    rep.shutdown()
     log(f"[bench] query p50={results['query_p50_sec']*1000:.1f}ms "
         f"p95={results['query_p95_sec']*1000:.1f}ms "
-        f"qps={results['query_qps']} batch_qps={results['query_qps_batch']}")
-    engine.shutdown()
+        f"qps={results['query_qps']} batch_qps={results['query_qps_batch']} "
+        f"rep4_qps={results['query_qps_batch_rep4']}")
 
     # -- 3. documents-derived pipeline at the sf dir (driver-visible tables) --
     if os.path.isdir(sf_dir):

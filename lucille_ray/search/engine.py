@@ -210,6 +210,7 @@ class SearchEngine:
         *,
         parallel: Union[bool, str] = "auto",
         actors: Optional[int] = None,
+        replicas: int = 1,
     ):
         self.index_dir = index_dir
         with open(os.path.join(index_dir, INDEX_META_FILE)) as f:
@@ -240,16 +241,24 @@ class SearchEngine:
         self._actors = None
         self._local: Optional[SegmentScorer] = None
         self._num_actors = actors
+        # replica sets: each set holds EVERY segment, so any set answers any
+        # query — batch serving round-robins across sets (shard replication,
+        # the standard QPS-scaling lever; on a cluster each set lands on
+        # different nodes). replicas=1 is exactly the old single-set engine.
+        self._replicas = max(1, int(replicas))
+        self._sets: Optional[List[list]] = None
+        self._rr = 0
         self._stats_cache = None
 
     # ---- scorer management ----
 
-    def _scorers(self):
+    def _scorer_sets(self) -> List[list]:
+        """All replica sets; each set covers every committed segment."""
         if not self.parallel:
             if self._local is None:
                 self._local = SegmentScorer(self.seg_dirs)
-            return [self._local]
-        if self._actors is None:
+            return [[self._local]]
+        if self._sets is None:
             import ray
 
             n = self._num_actors or min(len(self.seg_dirs), 8)
@@ -257,10 +266,28 @@ class SearchEngine:
             for i, d in enumerate(self.seg_dirs):
                 groups[i % n].append(d)
             Actor = ray.remote(SegmentScorer)
-            self._actors = [
-                Actor.options(num_cpus=1).remote(g) for g in groups if g
+            live = [g for g in groups if g]
+            # each scorer is a 1-CPU actor; more replica sets than the cluster
+            # can schedule would leave actors PENDING and deadlock the first
+            # query (same failure shape as oversubscribed join aggregators) —
+            # cap to what fits
+            reps = self._replicas
+            if reps > 1:
+                avail = int(ray.cluster_resources().get("CPU", 0))
+                reps = max(1, min(reps, avail // len(live)))
+            self._sets = [
+                [Actor.options(num_cpus=1).remote(g) for g in live]
+                for _ in range(reps)
             ]
-        return self._actors
+            self._actors = [a for s in self._sets for a in s]
+        return self._sets
+
+    def _scorers(self):
+        """One replica set, round-robined per call (any set answers fully)."""
+        sets = self._scorer_sets()
+        s = sets[self._rr % len(sets)]
+        self._rr += 1
+        return s
 
     def _call(self, method: str, per_scorer_args) -> list:
         scorers = self._scorers()
@@ -305,16 +332,21 @@ class SearchEngine:
         futures in flight at once instead of a blocking ray.get per query."""
         parsed = [parse(q) if isinstance(q, str) else q for q in queries]
         reqs_list = [collect_term_requests(q) for q in parsed]
-        scorers = self._scorers()
+        sets = self._scorer_sets()
         if not self.parallel:
-            flat = [scorers[0].resolve(reqs) for reqs in reqs_list]
+            flat = [sets[0][0].resolve(reqs) for reqs in reqs_list]
             per_query = [[r] for r in flat]
         else:
             import ray
 
-            futs = [a.resolve.remote(reqs) for reqs in reqs_list for a in scorers]
+            # spread query i's resolve fan-out over replica set i % R
+            futs = [
+                a.resolve.remote(reqs)
+                for i, reqs in enumerate(reqs_list)
+                for a in sets[i % len(sets)]
+            ]
             flat = ray.get(futs)
-            ns = len(scorers)
+            ns = len(sets[0])
             per_query = [flat[i * ns:(i + 1) * ns] for i in range(len(parsed))]
         return [
             self._merge_resolved(q, reqs, resolved)
@@ -410,15 +442,43 @@ class SearchEngine:
         self, queries: Sequence[QueryLike], k: int = 10
     ) -> List[Tuple[np.ndarray, np.ndarray]]:
         """Batch scoring: one batched resolve round-trip + one score round-trip
-        for the whole query set (not a driver round-trip per query)."""
+        for the whole query set (not a driver round-trip per query); with
+        ``replicas>1`` the batch is striped across replica sets so the whole
+        pool scores concurrently."""
         plans = self.plan_many(queries)
-        items = [[(q, reqs, ctx, k) for (q, reqs, ctx) in plans] for _ in self._scorers()]
-        results = self._call("score_many", [(batch,) for batch in items])
-        out = []
-        for qi in range(len(plans)):
-            docs = np.concatenate([r[qi][0] for r in results])
-            scores = np.concatenate([r[qi][1] for r in results])
-            out.append(top_k(docs, scores, k))
+        sets = self._scorer_sets()
+        if not self.parallel or len(sets) == 1:
+            scorers = sets[0]
+            items = [(q, reqs, ctx, k) for (q, reqs, ctx) in plans]
+            results = self._call("score_many", [(items,) for _ in scorers])
+            out = []
+            for qi in range(len(plans)):
+                docs = np.concatenate([r[qi][0] for r in results])
+                scores = np.concatenate([r[qi][1] for r in results])
+                out.append(top_k(docs, scores, k))
+            return out
+        import ray
+
+        nr = len(sets)
+        futs, owners = [], []
+        for r, s in enumerate(sets):
+            sub = plans[r::nr]  # stripe r
+            if not sub:
+                continue
+            items = [(q, reqs, ctx, k) for (q, reqs, ctx) in sub]
+            for a in s:
+                futs.append(a.score_many.remote(items))
+                owners.append(r)
+        flat = ray.get(futs)
+        by_set: Dict[int, list] = {}
+        for r, res in zip(owners, flat):
+            by_set.setdefault(r, []).append(res)
+        out: List[Optional[tuple]] = [None] * len(plans)
+        for r, per_actor in by_set.items():
+            for li in range(len(per_actor[0])):
+                docs = np.concatenate([res[li][0] for res in per_actor])
+                scores = np.concatenate([res[li][1] for res in per_actor])
+                out[r + li * nr] = top_k(docs, scores, k)
         return out
 
     def _to_table(self, docs: np.ndarray, scores: np.ndarray, with_meta: bool):
@@ -453,3 +513,4 @@ class SearchEngine:
             for a in self._actors:
                 ray.kill(a)
             self._actors = None
+            self._sets = None

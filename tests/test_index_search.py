@@ -821,3 +821,30 @@ def test_match_all_stream_matches_gathered(built, ray_session):
             assert set(row) == {"doc_id", "conv_id", "turn_idx", "score"}
         finally:
             engine.shutdown()
+
+
+def test_replicated_engine_identical(built, ray_session):
+    """replicas>1 stripes work across duplicate scorer sets; every API answer
+    must be identical to the single-set engine (same docs AND scores). Engines
+    run sequentially — the 4-CPU test session can't host both actor pools."""
+    base = SearchEngine(built[1], parallel=True)
+    try:
+        singles = {qs: base.search(qs, k=7, with_meta=False) for qs in QUERY_SET[:8]}
+        batch_base = base.search_many(QUERY_SET[:7], k=5)
+    finally:
+        base.shutdown()
+    # ask for more replicas than fit: the CPU cap must clamp, not deadlock
+    rep = SearchEngine(built[1], parallel=True, replicas=16)
+    try:
+        assert 1 <= len(rep._scorer_sets()) <= 2  # 4 cpus / 2 groups
+        for qs, a in singles.items():
+            b = rep.search(qs, k=7, with_meta=False)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), qs
+            assert a["score"].to_pylist() == b["score"].to_pylist(), qs
+        # uneven stripes: 7 queries over the replica sets
+        batch = rep.search_many(QUERY_SET[:7], k=5)
+        for (ad, ascr), (bd, bs) in zip(batch_base, batch):
+            assert ad.tolist() == bd.tolist()
+            assert ascr.tolist() == bs.tolist()
+    finally:
+        rep.shutdown()
