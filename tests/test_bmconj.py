@@ -244,3 +244,44 @@ def test_lr_bmconj_toggle_identical(built, ray_session, monkeypatch):
         t = engine.search(qs, k=10, with_meta=False)
         assert t["doc_id"].to_pylist() == on[qs][0], qs
         np.testing.assert_array_equal(t["score"].to_pylist(), on[qs][1])
+
+
+def test_conj_randomized_full_engine_soak(built, ray_session, monkeypatch):
+    """150 random conjunction shapes (hot/mid/rare/absent terms, clause boosts,
+    Group/Boost/Field wrappers, random k) through the FULL engine with the
+    block-max path toggled per call — ranks and scores must match bit-exactly."""
+    import random
+
+    engine = SearchEngine(built, parallel=False)
+    scorer = engine._scorers()[0]
+    r = max(scorer.readers, key=lambda rr: rr.doc_count)
+    terms, dfs = r.term_dict("text")
+    order = np.argsort(-dfs)
+    pool = (
+        [str(terms[i]) for i in order[:10]]
+        + [str(terms[i]) for i in order[len(order) // 2 : len(order) // 2 + 15]]
+        + [str(terms[i]) for i in order[-15:]]
+        + ["zzznope", "qqqmissing"]
+    )
+    rng = random.Random(20260818)
+    for _ in range(150):
+        ts = rng.sample(pool, rng.randint(2, 5))
+        clauses = [
+            t if (b := rng.choice([None, None, 0.5, 2.0, 3.75])) is None else f"{t}^{b}"
+            for t in ts
+        ]
+        qs = " AND ".join(clauses)
+        wrap = rng.choice(["plain", "group", "boost", "field"])
+        if wrap == "group":
+            qs = f"({qs})"
+        elif wrap == "boost":
+            qs = f"({qs})^{rng.choice([0.5, 1.5, 2.0])}"
+        elif wrap == "field":
+            qs = f"text:({qs})"
+        k = rng.randint(1, 50)
+        monkeypatch.setenv("LR_BMCONJ", "1")
+        a = engine.search(qs, k=k, with_meta=False)
+        monkeypatch.setenv("LR_BMCONJ", "0")
+        b = engine.search(qs, k=k, with_meta=False)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), (qs, k)
+        assert a["score"].to_pylist() == b["score"].to_pylist(), (qs, k)
