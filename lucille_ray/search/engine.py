@@ -249,6 +249,13 @@ class SearchEngine:
         self._sets: Optional[List[list]] = None
         self._rr = 0
         self._stats_cache = None
+        # driver-side term-stats cache (Lucene caches per-searcher term stats
+        # the same way): (field, term) -> global df, 0 = known-absent. Filled
+        # by every resolve; a query whose exact terms are all cached and that
+        # needs no dictionary expansion skips the resolve round-trip entirely.
+        # Valid because an open engine serves ONE commit point (same
+        # assumption as _stats_cache); reopen after append/delete/compact.
+        self._df_cache: Dict[Tuple[str, str], int] = {}
 
     # ---- scorer management ----
 
@@ -322,8 +329,29 @@ class SearchEngine:
     def plan(self, query: QueryLike) -> Tuple[qn.Query, TermRequests, EvalContext]:
         q = parse(query) if isinstance(query, str) else query
         reqs = collect_term_requests(q)
+        hit = self._plan_from_cache(q, reqs)
+        if hit is not None:
+            return hit
         resolved_list = self._call("resolve", [(reqs,) for _ in self._scorers()])
         return self._merge_resolved(q, reqs, resolved_list)
+
+    def _plan_from_cache(
+        self, q: qn.Query, reqs: TermRequests
+    ) -> Optional[Tuple[qn.Query, TermRequests, EvalContext]]:
+        """Resolve-free plan when every exact term's df is cached and the query
+        needs no dictionary expansion. Bit-identical to the resolved plan: the
+        merged df map holds only found terms, so cached zeros are dropped."""
+        if reqs.expansions or self._stats_cache is None:
+            return None
+        c = self._df_cache
+        if any(ft not in c for ft in reqs.exact):
+            return None
+        df = {ft: c[ft] for ft in reqs.exact if c[ft]}
+        stats = self._global_stats()
+        ctx = EvalContext(
+            n_docs=stats["n_docs"], avgdl=stats["avgdl"], df=df, expanded={}
+        )
+        return q, reqs, ctx
 
     def plan_many(
         self, queries: Sequence[QueryLike]
@@ -332,26 +360,30 @@ class SearchEngine:
         futures in flight at once instead of a blocking ray.get per query."""
         parsed = [parse(q) if isinstance(q, str) else q for q in queries]
         reqs_list = [collect_term_requests(q) for q in parsed]
+        out: List[Optional[tuple]] = [
+            self._plan_from_cache(q, reqs) for q, reqs in zip(parsed, reqs_list)
+        ]
+        need = [i for i, p in enumerate(out) if p is None]
+        if not need:
+            return out  # type: ignore[return-value]
         sets = self._scorer_sets()
         if not self.parallel:
-            flat = [sets[0][0].resolve(reqs) for reqs in reqs_list]
-            per_query = [[r] for r in flat]
+            per_query = [[sets[0][0].resolve(reqs_list[i])] for i in need]
         else:
             import ray
 
             # spread query i's resolve fan-out over replica set i % R
             futs = [
-                a.resolve.remote(reqs)
-                for i, reqs in enumerate(reqs_list)
-                for a in sets[i % len(sets)]
+                a.resolve.remote(reqs_list[i])
+                for j, i in enumerate(need)
+                for a in sets[j % len(sets)]
             ]
             flat = ray.get(futs)
             ns = len(sets[0])
-            per_query = [flat[i * ns:(i + 1) * ns] for i in range(len(parsed))]
-        return [
-            self._merge_resolved(q, reqs, resolved)
-            for q, reqs, resolved in zip(parsed, reqs_list, per_query)
-        ]
+            per_query = [flat[j * ns:(j + 1) * ns] for j in range(len(need))]
+        for j, i in enumerate(need):
+            out[i] = self._merge_resolved(parsed[i], reqs_list[i], per_query[j])
+        return out  # type: ignore[return-value]
 
     def _merge_resolved(
         self, q: qn.Query, reqs: TermRequests, resolved_list: list
@@ -371,6 +403,10 @@ class SearchEngine:
                     f"{spec.kind} expansion exceeds {MAX_EXPANSIONS} terms "
                     f"across segments ({len(terms)})"
                 )
+        for key, v in df.items():
+            self._df_cache[key] = v
+        for ft in reqs.exact:
+            self._df_cache.setdefault(ft, 0)  # known-absent
         stats = self._global_stats()
         ctx = EvalContext(
             n_docs=stats["n_docs"],

@@ -848,3 +848,46 @@ def test_replicated_engine_identical(built, ray_session):
             assert ascr.tolist() == bs.tolist()
     finally:
         rep.shutdown()
+
+
+def test_df_cache_skips_resolve_bit_identical(built, ray_session, monkeypatch):
+    """Second query over the same vocabulary must skip the resolve round-trip
+    and still answer bit-identically to a fresh (cache-cold) engine."""
+    import lucille_ray.search.engine as eng_mod
+
+    calls = []
+    orig = eng_mod.SegmentScorer.resolve
+
+    def counting(self, reqs):
+        calls.append(1)
+        return orig(self, reqs)
+
+    monkeypatch.setattr(eng_mod.SegmentScorer, "resolve", counting)
+    engine = SearchEngine(built[1], parallel=False)
+    a1 = engine.search("data AND query", k=5, with_meta=False)
+    n1 = len(calls)
+    assert n1 >= 1
+    a2 = engine.search("data AND query", k=5, with_meta=False)
+    assert len(calls) == n1, "repeat query must not resolve again"
+    assert a1["doc_id"].to_pylist() == a2["doc_id"].to_pylist()
+    assert a1["score"].to_pylist() == a2["score"].to_pylist()
+    # known-absent terms cache as df=0 after one resolve
+    engine.search("data AND nosuchterm", k=5, with_meta=False)
+    # a DIFFERENT query over cached vocabulary also skips, and matches a
+    # cache-cold engine bit-exactly (incl. phrase/positional and absent terms)
+    for qs in ('query OR data', '"data query"~2', "data AND nosuchterm"):
+        before = len(calls)
+        got = engine.search(qs, k=5, with_meta=False)
+        assert len(calls) == before, qs
+        cold = SearchEngine(built[1], parallel=False)
+        exp = cold.search(qs, k=5, with_meta=False)
+        assert got["doc_id"].to_pylist() == exp["doc_id"].to_pylist(), qs
+        assert got["score"].to_pylist() == exp["score"].to_pylist(), qs
+    # dictionary expansions can never be answered from the df cache
+    before = len(calls)
+    engine.search("dat*", k=5, with_meta=False)
+    assert len(calls) > before
+    # batch planning resolves only the uncached queries
+    before = len(calls)
+    engine.search_many(["data AND query", "brandnewterm999"], k=5)
+    assert len(calls) == before + 1
