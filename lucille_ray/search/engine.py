@@ -113,15 +113,22 @@ class SegmentScorer:
         conjunctions of simple terms take the block-max conjunction path
         (bmconj.py)."""
         from .bmconj import conj_parts, conj_top_k
+        from .bmphrase import phrase_parts, phrase_top_k
         from .wand import wand_parts, wand_top_k
 
         wand = wand_parts(query) if k is not None else None
-        # LR_BMCONJ=0 pins eligible conjunctions to the plain evaluator
-        # (A/B measurement + safety valve, like LR_FUSE_DOCMAP)
+        # LR_BMCONJ=0 / LR_BMPHRASE=0 pin eligible shapes to the plain
+        # evaluator (A/B measurement + safety valve, like LR_FUSE_DOCMAP)
         conj = (
             conj_parts(query)
             if k is not None and wand is None
             and os.environ.get("LR_BMCONJ", "1") != "0"
+            else None
+        )
+        phrase = (
+            phrase_parts(query)
+            if k is not None and wand is None and conj is None
+            and os.environ.get("LR_BMPHRASE", "1") != "0"
             else None
         )
         all_docs, all_scores = [], []
@@ -141,6 +148,12 @@ class SegmentScorer:
                 docs, scores = conj_top_k(r, ctx, parts, k)
                 if scale != 1.0:
                     scores = scores * scale
+            elif phrase is not None and r.deleted is None:
+                p_field, p_terms, p_gap, weights = phrase
+                docs, scores = phrase_top_k(r, ctx, p_field, p_terms, p_gap, k)
+                # innermost-first: eval's nested Boost multiply order
+                for w in reversed(weights):
+                    scores = scores * w
             else:
                 ev = SegmentEval(r, ctx, reqs, query=query)
                 docs, scores = ev.eval(query)
