@@ -144,8 +144,8 @@ class SegmentScorer:
                 if scale != 1.0:
                     scores = scores * scale
             elif conj is not None and r.deleted is None:
-                parts, scale = conj
-                docs, scores = conj_top_k(r, ctx, parts, k)
+                parts, negs, scale = conj
+                docs, scores = conj_top_k(r, ctx, parts, k, tuple(negs))
                 if scale != 1.0:
                     scores = scores * scale
             elif phrase is not None and r.deleted is None:

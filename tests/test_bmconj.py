@@ -25,6 +25,11 @@ AND_QUERIES = [
     "data AND nosuchterm",  # absent term: empty
     "the AND a AND data AND query",
     "(the AND data)^0.25",
+    "the AND data AND NOT query",  # hot AND hot minus hot
+    "data AND the AND -xylophone42",
+    "data AND query AND NOT nosuchterm",
+    "data AND query AND NOT role:user",
+    "(data AND the AND NOT query)^2",
 ]
 
 
@@ -41,13 +46,21 @@ def built(ray_session, tmp_path_factory):
 def test_conj_parts_shapes():
     assert conj_parts(parse("a AND b")) is not None
     assert conj_parts(parse("(a AND b)^2")) == (
-        [("text", "a", 1.0), ("text", "b", 1.0)], 2.0,
+        [("text", "a", 1.0), ("text", "b", 1.0)], [], 2.0,
     )
     assert conj_parts(parse("role:(a AND b)"))[0][0][0] == "role"
     assert conj_parts(parse("a AND b^3"))[0][1] == ("text", "b", 3.0)
     assert conj_parts(parse("a OR b")) is None
     assert conj_parts(parse('a AND "b c"')) is None  # phrase clause
-    assert conj_parts(parse("a AND -b")) is None  # negative clause
+    assert conj_parts(parse("a AND -b")) is None  # 1 positive: no intersection to prune
+    assert conj_parts(parse("a AND b AND -c")) == (
+        [("text", "a", 1.0), ("text", "b", 1.0)], [("text", "c")], 1.0,
+    )  # negated simple terms are handled by candidate exclusion
+    assert conj_parts(parse("a AND b AND NOT c AND -c")) == (
+        [("text", "a", 1.0), ("text", "b", 1.0)], [("text", "c")], 1.0,
+    )  # duplicate negatives dedupe
+    assert conj_parts(parse("-a AND -b")) is None  # pure negative: eval's EMPTY
+    assert conj_parts(parse('a AND NOT "b c"')) is None  # non-simple negative
     assert conj_parts(parse("a AND +b")) is None  # UnaryPlus changes float order
     assert conj_parts(parse("a AND a")) is None  # duplicate clause
     assert conj_parts(parse("a AND b.c")) is None  # multi-token term
@@ -66,12 +79,12 @@ def test_conj_identical_to_eval(built, qs, k):
     q, reqs, ctx = engine.plan(qs)
     ps = conj_parts(q)
     assert ps is not None, f"{qs!r} should be conjunction-eligible"
-    parts, scale = ps
+    parts, negs, scale = ps
     scorer = engine._scorers()[0]
     for r in scorer.readers:
         if r.doc_count == 0:
             continue
-        cd, cs = conj_top_k(r, ctx, parts, k)
+        cd, cs = conj_top_k(r, ctx, parts, k, tuple(negs))
         fresh = SegmentEval(r, ctx, collect_term_requests(q), query=q)
         ed, es = top_k(*fresh.eval(q), k)
         assert cd.tolist() == ed.tolist(), f"{qs!r} k={k}: rank mismatch"
@@ -125,8 +138,8 @@ def test_conj_random_queries_property(built, ray_session):
         q, reqs, ctx = engine.plan(qs)
         ps = conj_parts(q)
         assert ps is not None
-        parts, scale = ps
-        cd, cs = conj_top_k(r, ctx, parts, k)
+        parts, negs, scale = ps
+        cd, cs = conj_top_k(r, ctx, parts, k, tuple(negs))
         ev = SegmentEval(r, ctx, collect_term_requests(q), query=q)
         ed, es = top_k(*ev.eval(q), k)
         assert cd.tolist() == ed.tolist(), qs
@@ -177,7 +190,7 @@ def test_conj_actually_skips_decodes(spiked, monkeypatch):
     scorer = engine._scorers()[0]
     r = max(scorer.readers, key=lambda rr: rr.doc_count)
     q, reqs, ctx = engine.plan("alpha AND beta")
-    parts, scale = conj_parts(q)
+    parts, negs, scale = conj_parts(q)
 
     decoded_vals = {"n": 0}
     real = codec.decode_varints
@@ -270,6 +283,11 @@ def test_conj_randomized_full_engine_soak(built, ray_session, monkeypatch):
             t if (b := rng.choice([None, None, 0.5, 2.0, 3.75])) is None else f"{t}^{b}"
             for t in ts
         ]
+        # negate a random tail subset, keeping at least two positive clauses
+        # (fewer falls back to the plain path by design)
+        for i in range(2, len(clauses)):
+            if rng.random() < 0.25:
+                clauses[i] = rng.choice(["NOT ", "-"]) + ts[i]
         qs = " AND ".join(clauses)
         wrap = rng.choice(["plain", "group", "boost", "field"])
         if wrap == "group":
