@@ -28,9 +28,8 @@ from typing import Dict, List, Optional, Sequence, Tuple, Union
 import numpy as np
 import pyarrow as pa
 
-from ..analysis import DEFAULT_FIELD
 from ..index.build import INDEX_META_FILE
-from ..index.segment import SegmentReader, load_segments
+from ..index.segment import SegmentReader
 from ..query import nodes as qn
 from ..query.parser import parse
 from .eval import (
