@@ -166,7 +166,7 @@ def run_bench(num_cpus: int, turns: int, sf_dir: str) -> dict:
     # the shard-replication QPS lever a real deployment pulls (capped to what
     # the cluster can schedule)
     rep = SearchEngine(index_dir, parallel=True, replicas=4)
-    rep.search("data", k=10, with_meta=False)
+    rep.warm("data")  # every replica set, not just the round-robin pick
     qps_rep = 0.0
     for _ in range(3):
         t0 = time.perf_counter()

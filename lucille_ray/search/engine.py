@@ -456,6 +456,19 @@ class SearchEngine:
             )
         return self._to_table(docs, scores, True)
 
+    def warm(self, query: QueryLike = "the", k: int = 10) -> None:
+        """Fan one cheap query to EVERY scorer across ALL replica sets so
+        segment metadata, norms and caches load before serving traffic — a
+        plain ``search()`` warms only the one set the round-robin picks."""
+        q, reqs, ctx = self.plan(query)
+        sets = self._scorer_sets()
+        if not self.parallel:
+            sets[0][0].score(q, reqs, ctx, k)
+            return
+        import ray
+
+        ray.get([a.score.remote(q, reqs, ctx, k) for s in sets for a in s])
+
     def match_all_stream(self, query: QueryLike, *, with_meta: bool = False):
         """Corpus filtering as a STREAMING ``ray.data.Dataset``: each scorer
         materializes its segments' matches as one Arrow table in the object

@@ -837,6 +837,7 @@ def test_replicated_engine_identical(built, ray_session):
     rep = SearchEngine(built[1], parallel=True, replicas=16)
     try:
         assert 1 <= len(rep._scorer_sets()) <= 2  # 4 cpus / 2 groups
+        rep.warm("data")  # fans to every set across all replicas
         for qs, a in singles.items():
             b = rep.search(qs, k=7, with_meta=False)
             assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), qs
