@@ -151,24 +151,28 @@ def grouped_topk(
             .to_arrow()
         )
 
-    def per_key(g):
-        import pandas as pd
+    def per_key(g: pa.Table) -> pa.Table:
+        # Arrow-native in-group kernel (same pattern as sessions.py): one
+        # stable sort_indices on the SQL window's exact keys, one take.
+        import pyarrow.compute as pc
 
-        g = g.sort_values([val_col, id_col], ascending=[False, True],
-                          kind="stable").head(k)
-        return pd.DataFrame(
+        order = pc.sort_indices(
+            g, sort_keys=[(val_col, "descending"), (id_col, "ascending")]
+        )[: k]
+        g = g.take(order)
+        return pa.table(
             {
-                key_col: g[key_col].to_numpy(),
-                id_col: g[id_col].to_numpy(),
-                "rk": np.arange(1, len(g) + 1, dtype=np.int64),
-                val_col: g[val_col].to_numpy(),
+                key_col: g[key_col],
+                id_col: g[id_col],
+                "rk": pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64)),
+                val_col: g[val_col],
             }
         )
 
     return (
         ds.map_batches(candidates, batch_format="pyarrow")
         .groupby(key_col)
-        .map_groups(per_key, batch_format="pandas")
+        .map_groups(per_key, batch_format="pyarrow")
     )
 
 
@@ -200,19 +204,19 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def group_quantiles(ds, qs=(0.5, 0.95), *, group_col: str = "event_type",
-                    val_col: str = "value", max_group_rows: int | None = None):
+                    val_col: str = "value",
+                    max_group_rows: int | None = 5_000_000):
     """Exact per-group discrete quantiles (DuckDB ``quantile_disc``
     semantics: the sorted element at index ``ceil(q*n) - 1``).
 
     Scale shape: ``groupby(group).map_groups`` with one vectorized sort per
     group — bounded by the group's row count, the same partitioning contract
-    as sessionize/joins. When ``max_group_rows`` is set, a tiny per-group
-    count peek routes datasets with any oversized group to
-    :func:`group_quantiles_distributed` (distributed sort + rank select —
-    exact, no group ever lands on one worker)."""
+    as sessionize/joins. A tiny per-group count peek routes datasets with any
+    group larger than ``max_group_rows`` (default 5M — ON by default, VERDICT
+    r03 #5) to :func:`group_quantiles_distributed` (distributed sort + rank
+    select — exact, no group ever lands on one worker); pass ``None`` to pin
+    the in-group path."""
     import math
-
-    import pandas as pd
 
     if max_group_rows is not None:
         counts = _group_counts(ds, group_col)
@@ -222,20 +226,20 @@ def group_quantiles(ds, qs=(0.5, 0.95), *, group_col: str = "event_type",
                 _counts=counts,
             )
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g[val_col].to_numpy())
+    def per_key(g: pa.Table) -> pa.Table:
+        v = np.sort(g[val_col].to_numpy(zero_copy_only=False))
         n = v.size
-        row = {
-            group_col: [g[group_col].iloc[0]],
-            "n": np.array([n], np.int64),
+        cols = {
+            group_col: g[group_col].slice(0, 1),
+            "n": pa.array([n], pa.int64()),
         }
         for q in qs:
-            row[f"q{int(round(q * 100))}"] = np.array(
-                [v[min(n - 1, math.ceil(q * n) - 1)]]
+            cols[f"q{int(round(q * 100))}"] = pa.array(
+                np.array([v[min(n - 1, math.ceil(q * n) - 1)]])
             )
-        return pd.DataFrame(row)
+        return pa.table(cols)
 
-    return ds.groupby(group_col).map_groups(per_key, batch_format="pandas")
+    return ds.groupby(group_col).map_groups(per_key, batch_format="pyarrow")
 
 
 def _group_counts(ds, group_col: str) -> dict:

@@ -78,28 +78,28 @@ def kmv_distinct(ds, k: int = 64, *, group_col: str = "event_type",
             .to_arrow()
         )
 
-    def finish(g):
-        import pandas as pd
-
-        hv = np.unique(g["hv"].to_numpy().astype(np.int64))
+    def finish(g: pa.Table) -> pa.Table:
+        # Arrow-native (no per-group pandas conversion): union the partial
+        # sketches with one np.unique, read the k-th smallest hash.
+        hv = np.unique(g["hv"].to_numpy(zero_copy_only=False).astype(np.int64))
         m = min(k, hv.size)
         kth = int(hv[m - 1])
         if m < k:
             est = float(hv.size)
         else:
             est = (k - 1) * float(P31) / (kth + 1)
-        return pd.DataFrame(
+        return pa.table(
             {
-                group_col: [g[group_col].iloc[0]],
-                "kth_hash": np.array([kth], np.int64),
-                "est": np.array([est], np.float64),
+                group_col: g[group_col].slice(0, 1),
+                "kth_hash": pa.array([kth], pa.int64()),
+                "est": pa.array([est], pa.float64()),
             }
         )
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(group_col)
-        .map_groups(finish, batch_format="pandas")
+        .map_groups(finish, batch_format="pyarrow")
     )
 
     def round4(t: pa.Table) -> pa.Table:
