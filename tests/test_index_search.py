@@ -847,6 +847,17 @@ def test_replicated_engine_identical(built, ray_session):
         for (ad, ascr), (bd, bs) in zip(batch_base, batch):
             assert ad.tolist() == bd.tolist()
             assert ascr.tolist() == bs.tolist()
+        # warm_many fans the batch vocabulary to every set; calibrate picks a
+        # serving mode — answers must stay bit-identical in BOTH modes
+        rep.warm_many(QUERY_SET[:7], k=5)
+        mode = rep.calibrate(QUERY_SET[:7], k=5, passes=1)
+        assert mode in ("striped", "single")
+        for forced in ("striped", "single"):
+            rep._mode = forced
+            batch = rep.search_many(QUERY_SET[:7], k=5)
+            for (ad, ascr), (bd, bs) in zip(batch_base, batch):
+                assert ad.tolist() == bd.tolist(), forced
+                assert ascr.tolist() == bs.tolist(), forced
     finally:
         rep.shutdown()
 
