@@ -113,9 +113,17 @@ class SegmentScorer:
         (bmconj.py)."""
         from .bmconj import conj_parts, conj_top_k
         from .bmphrase import phrase_parts, phrase_top_k
-        from .wand import wand_parts, wand_top_k
+        from .wand import expansion_wand_parts, wand_parts, wand_top_k
 
         wand = wand_parts(query) if k is not None else None
+        if (
+            wand is None and k is not None
+            and os.environ.get("LR_BMEXP", "1") != "0"
+        ):
+            # top-level dictionary expansions score through WAND too: the
+            # expanded union is a disjunction of simple terms (LR_BMEXP=0
+            # pins the plain evaluator — same A/B valve family as LR_BMCONJ)
+            wand = expansion_wand_parts(query, ctx)
         # LR_BMCONJ=0 / LR_BMPHRASE=0 pin eligible shapes to the plain
         # evaluator (A/B measurement + safety valve, like LR_FUSE_DOCMAP)
         conj = (

@@ -104,6 +104,42 @@ def wand_parts(
     return parts, scale, m
 
 
+def expansion_wand_parts(
+    q: qn.Query, ctx: EvalContext, field: str = DEFAULT_FIELD
+) -> Optional[Tuple[List[Tuple[str, str, float]], float, int]]:
+    """WAND parts for a TOP-LEVEL dictionary-expansion node (Prefix / WildCard /
+    TermRegex / Fuzzy / TermRange, possibly wrapped in Group/Boost/Field) —
+    VERDICT r03 #6: the widest expansions (``[aa TO dz]``) were paying a full
+    union evaluation over every expanded term's postings; scoring them through
+    block-max WAND prunes the hot terms' blocks against the bootstrap θ.
+
+    Exactness/parity: eval's boolean rewrite scores an expansion as a plain
+    sum-of-BM25 union over ``ctx.expanded[spec]`` IN TUPLE ORDER with per-term
+    boost 1 and the outer Boost applied after the union — exactly the (parts,
+    scale, m=1) contract of :func:`wand_top_k`, whose merge accumulates in the
+    same parts order (ties break identically)."""
+    scale = 1.0
+    while isinstance(q, (qn.Group, qn.Boost, qn.Field)):
+        if isinstance(q, qn.Boost):
+            scale *= float(q.weight)
+        elif isinstance(q, qn.Field):
+            field = q.field
+        q = q.q
+    if not isinstance(
+        q, (qn.Prefix, qn.WildCard, qn.TermRegex, qn.Fuzzy, qn.TermRange)
+    ):
+        return None
+    if scale <= 0:
+        return None  # non-positive boost flips the bound direction; fall back
+    from .eval import _spec_for
+
+    spec = _spec_for(q, field)
+    terms = ctx.expanded.get(spec, ())
+    if len(terms) < 2:
+        return None  # empty/singleton expansions: plain eval is already minimal
+    return [(field, t, 1.0) for t in terms], scale, 1
+
+
 def _norms_window_min(reader, field: str) -> np.ndarray:
     """Min of norms per NORMS_WINDOW chunk, cached on the reader."""
     cache = getattr(reader, "_norms_winmin", None)
@@ -241,21 +277,33 @@ def wand_top_k(
     if m > 1:
         return _minmatch_top_k(reader, ctx, terms_meta, k, m)
 
-    # ---- bootstrap θ: decode highest-impact terms until >= k docs seen ----
+    # ---- bootstrap θ: decode highest-impact terms until >= k docs seen,
+    # then keep decoding CHEAP terms. A sparse term's 128-posting block can
+    # straddle most of the segment, so leaving it undecoded poisons the
+    # interval sweep with a segment-wide upper bound while its decode costs
+    # microseconds — the wide-dictionary-expansion failure shape (many rare
+    # terms + one hot term: nothing ever pruned). Cheap = at most
+    # POINT_EVENT_CAP postings AND at most a quarter of the largest term
+    # (so a merely-warm term in a hot-vs-warm OR is still pruned, not paid).
     impact_order = sorted(
         range(len(terms_meta)), key=lambda i: -float(terms_meta[i][6].max())
     )
+    sizes = [int(t[3].ns.sum()) for t in terms_meta]
+    cheap_cap = min(POINT_EVENT_CAP, max(sizes) // 4)
     decoded: dict = {}  # index -> (docs, scores)
     seen_docs = 0
     theta = -np.inf
     for i in impact_order:
+        if seen_docs >= k and sizes[i] > cheap_cap:
+            continue
         field, term, boost, rb, *_ = terms_meta[i]
         docs, tfs = _decode_full(reader, field, term, rb)
         scores = _bm25_exact(reader, ctx, field, term, boost, docs, tfs, full=True)
         decoded[i] = (docs, scores)
         seen_docs += docs.size
-        if seen_docs < k:
-            continue
+    if seen_docs >= k:
+        # θ = exact k-th best partial sum over ALL decoded terms (a lower
+        # bound on the final k-th score — adding terms only raises scores)
         if len(decoded) == 1:
             # single decoded term: its docs are already unique — no union needed
             sums = next(iter(decoded.values()))[1]
@@ -267,7 +315,6 @@ def wand_top_k(
             np.add.at(sums, inv, pscores)
         if sums.size >= k:
             theta = float(-np.partition(-sums, k - 1)[k - 1])
-            break
 
     undecoded = [i for i in range(len(terms_meta)) if i not in decoded]
     results = dict(decoded)
@@ -306,7 +353,14 @@ def wand_top_k(
     deltas = np.concatenate(delta_parts)
     order = np.argsort(xs, kind="stable")
     xs_s = xs[order]
-    bound = np.cumsum(deltas[order])
+    # collapse events sharing a doc coordinate: duplicates would otherwise
+    # emit zero-width [x, x) intervals that are EMPTY but still pass the
+    # block-overlap test in _decode_candidates, inflating survivals
+    uniq_idx = np.flatnonzero(
+        np.concatenate([[True], xs_s[1:] != xs_s[:-1]])
+    )
+    xs_s = xs_s[uniq_idx]
+    bound = np.cumsum(np.add.reduceat(deltas[order], uniq_idx))
     keep = bound >= theta - THETA_EPS
     # candidate intervals [xs_s[i], xs_s[i+1]) where keep[i]; merge adjacent
     if not keep.any():
@@ -317,7 +371,34 @@ def wand_top_k(
         got = _decode_candidates(reader, ctx, terms_meta[i], cand_lo, cand_hi)
         if got is not None:
             results[i] = got
+    # restrict every term's contribution to docs inside surviving intervals
+    # BEFORE the union merge: a doc outside every interval has bound < θ−ε,
+    # strictly below the final k-th score, so dropping it cannot change the
+    # top-k — and the O(Σdf) unique+add.at merge was the warm-path floor for
+    # wide expansions (decode is cached; the union wasn't)
+    results = {
+        i: _restrict_to_intervals(r, cand_lo, cand_hi)
+        for i, r in results.items()
+    }
     return _merge_top_k(results, k)
+
+
+def _restrict_to_intervals(
+    r: Tuple[np.ndarray, np.ndarray], cand_lo: np.ndarray, cand_hi: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Keep only (doc, score) pairs whose doc lies in some [lo, hi) interval.
+    A kept doc keeps EVERY term's contribution (restriction is by doc, not by
+    term), so candidate sums — and therefore ranks, scores, and ties — are
+    unchanged."""
+    docs, scores = r
+    if docs.size == 0:
+        return r
+    pos = np.searchsorted(cand_hi, docs, side="right")
+    ok = pos < cand_lo.size
+    ok[ok] &= cand_lo[pos[ok]] <= docs[ok]
+    if ok.all():
+        return r
+    return docs[ok], scores[ok]
 
 
 def _interval_bounds(xs_s: np.ndarray, keep: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

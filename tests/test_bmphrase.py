@@ -220,3 +220,92 @@ def test_phrase_after_delete_falls_back_and_matches(spiked, ray_session, tmp_pat
     got = engine.search('"alpha beta"', k=10, with_meta=True)
     assert got.num_rows > 0
     assert not set(got["conv_id"].to_pylist()) & set(victims)
+
+
+@pytest.fixture(scope="module")
+def flat(ray_session, tmp_path_factory):
+    """Uniform hot x hot corpus: the phrase occurs once in EVERY doc with
+    identical doc lengths, so every anchor block's bound is the shared max —
+    the flat-bound path (nothing prunable) is forced."""
+    import ray
+
+    root = str(tmp_path_factory.mktemp("bmphrase_flat"))
+    index_dir = os.path.join(root, "index")
+    n = 4000
+    texts = [f"data query w{i % 7} filler pad" for i in range(n)]
+    tab = pa.table(
+        {
+            "conv_id": pa.array([f"c{i // 5:05d}" for i in range(n)], pa.string()),
+            "turn_idx": pa.array([i % 5 for i in range(n)], pa.int32()),
+            "role": pa.array(["user"] * n, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "tool": pa.array([""] * n, pa.string()),
+            "ts": pa.array(
+                [1_700_000_000_000_000 + i for i in range(n)], pa.timestamp("us")
+            ),
+        }
+    )
+    build_index(ray.data.from_arrow(tab), index_dir, num_segments=1, batch_size=1000)
+    return index_dir
+
+
+def test_flat_phrase_match_cache_warm_repeat(flat, monkeypatch):
+    """Flat-bound (hot x hot) phrase: the first evaluation computes the
+    COMPLETE match set and caches it; a repeat query must decode ZERO varints
+    and return bit-identical results for any k (VERDICT r03 #3)."""
+    from lucille_ray.index import codec
+
+    engine = SearchEngine(flat, parallel=False)
+    scorer = engine._scorers()[0]
+    r = max(scorer.readers, key=lambda rr: rr.doc_count)
+    q, reqs, ctx = engine.plan('"data query"~2')
+    field, terms, gap, _w = phrase_parts(q)
+
+    # cold pass populates the cache
+    getattr(r, "_phrase_match_cache", {}).clear()
+    d1, s1 = phrase_top_k(r, ctx, field, terms, gap, k=10)
+    assert (field, tuple(terms), gap) in r._phrase_match_cache
+
+    decoded_vals = {"n": 0}
+    real = codec.decode_varints
+
+    def counting(buf):
+        out = real(buf)
+        decoded_vals["n"] += out.size
+        return out
+
+    monkeypatch.setattr("lucille_ray.index.codec.decode_varints", counting)
+    d2, s2 = phrase_top_k(r, ctx, field, terms, gap, k=10)
+    assert decoded_vals["n"] == 0, "warm repeat must not decode anything"
+    assert d2.tolist() == d1.tolist()
+    np.testing.assert_array_equal(s2, s1)
+    # a different k reuses the same cached match set, still exact vs eval
+    d3, s3 = phrase_top_k(r, ctx, field, terms, gap, k=3)
+    assert decoded_vals["n"] == 0
+    ev = SegmentEval(r, ctx, collect_term_requests(q), query=q)
+    ed, es = top_k(*ev.eval(q), 3)
+    assert d3.tolist() == ed.tolist()
+    np.testing.assert_array_equal(s3, es)
+
+
+def test_flat_phrase_match_cache_byte_cap(flat):
+    """The match cache evicts FIFO past its byte cap instead of growing."""
+    import lucille_ray.search.bmphrase as bp
+
+    engine = SearchEngine(flat, parallel=False)
+    scorer = engine._scorers()[0]
+    r = max(scorer.readers, key=lambda rr: rr.doc_count)
+    r._phrase_match_cache = {}
+    r._phrase_match_bytes = 0
+    big = np.zeros(1024, np.int64)
+    cap_entries = bp.PHRASE_CACHE_BYTES // (2 * big.nbytes)
+    for i in range(3):
+        bp._match_cache_put(r, ("text", (f"t{i}",), 0), big, big.astype(np.float64))
+    assert len(r._phrase_match_cache) == 3  # far under the cap: all kept
+    monkey_cap, bp.PHRASE_CACHE_BYTES = bp.PHRASE_CACHE_BYTES, 3 * big.nbytes
+    try:
+        bp._match_cache_put(r, ("text", ("tx",), 0), big, big.astype(np.float64))
+        assert len(r._phrase_match_cache) < 4
+        assert ("text", ("tx",), 0) in r._phrase_match_cache
+    finally:
+        bp.PHRASE_CACHE_BYTES = monkey_cap
