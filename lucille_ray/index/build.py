@@ -132,31 +132,15 @@ def _validate_turn_density(
         )
 
 
-def _conv_offsets(ds) -> Tuple[List[str], np.ndarray, np.ndarray]:
-    """Conversation -> turn count (+ density/uniqueness validation).
-
-    Pre-aggregated per batch (one partial row per conv per batch) and merged on
-    the driver — Ray's generic string-key groupby shuffle measured ~15x slower
-    than this for the same result. Driver merge is O(#convs); past
-    ``DOCID_DRIVER_MAX_ROWS`` input rows, ``build_index`` switches to the
-    range-partitioned :func:`_docmap_ranged` path instead."""
-    import ray
-
-    # project BEFORE the scan: the counts pass needs 2 narrow columns, and
-    # select_columns pushes into ReadParquet so the text payload (the bulk of
-    # the bytes) is never decoded for this pass
-    refs = ds.select_columns(["conv_id", "turn_idx"]).map_batches(
-        _conv_partial_counts, batch_format="pyarrow", batch_size=65536
-    ).to_arrow_refs()
-    parts = pa.concat_tables(ray.get(refs))
+def _merge_conv_partials(tables: List[pa.Table]) -> pa.Table:
+    """Sort + segment-reduce per-batch conv partials into one conv-sorted table
+    with ONE row per conv (cnt/sm summed, mx maxed). The merge is associative,
+    so it runs identically as a tree-reduce leaf/root task or on the driver —
+    sort + numpy reduceat measured ~15x faster than Ray's generic string-key
+    groupby shuffle and ~2x an Arrow hash group_by for the same result."""
+    parts = pa.concat_tables(tables)
     if parts.num_rows == 0:
-        empty = np.zeros(0, dtype=np.int64)
-        return pa.array([], pa.string()), empty, empty.copy()
-    # the merged table must end up conv-sorted anyway, so merge duplicates by
-    # sort + segment-reduce instead of a hash group_by: one Arrow sort of the
-    # partial rows plus numpy reduceat replaces the ~2s serial group_by the
-    # driver paid at 10M turns (this is the build's Amdahl term — every serial
-    # driver second costs the wide level 4x the ratio damage of the narrow one)
+        return parts
     order = pa.compute.sort_indices(parts["conv_id"])
     parts = parts.take(order)
     conv_col = parts["conv_id"].combine_chunks()
@@ -171,10 +155,66 @@ def _conv_offsets(ds) -> Tuple[List[str], np.ndarray, np.ndarray]:
     cnt_all = parts["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
     mx_all = parts["mx"].to_numpy(zero_copy_only=False).astype(np.int64)
     sm_all = parts["sm"].to_numpy(zero_copy_only=False).astype(np.int64)
-    counts = np.add.reduceat(cnt_all, starts)
-    max_turn = np.maximum.reduceat(mx_all, starts)
-    turn_sum = np.add.reduceat(sm_all, starts)
-    convs = conv_col.take(pa.array(starts))  # stays Arrow; no Python list
+    return pa.table(
+        {
+            "conv_id": conv_col.take(pa.array(starts)),
+            "cnt": pa.array(np.add.reduceat(cnt_all, starts)),
+            "mx": pa.array(np.maximum.reduceat(mx_all, starts)),
+            "sm": pa.array(np.add.reduceat(sm_all, starts)),
+        }
+    )
+
+
+def _merge_conv_partials_task(*tables) -> pa.Table:
+    _limit_worker_threads()
+    return _merge_conv_partials(list(tables))
+
+
+#: tree-reduce fanout for the conv-partials merge; also the ref-count bound
+#: under which the merge just runs on the driver (task overhead > work)
+CONV_MERGE_FANOUT = 8
+
+_MERGE_TASK = None  # lazily-created ray.remote wrapper (module import is ray-free)
+
+
+def _conv_offsets(ds) -> Tuple[List[str], np.ndarray, np.ndarray]:
+    """Conversation -> turn count (+ density/uniqueness validation).
+
+    Pre-aggregated per batch (one partial row per conv per batch), then
+    tree-reduced in Ray tasks (fanout :data:`CONV_MERGE_FANOUT`) down to a
+    single conv-sorted table — the driver never sorts the O(sum partial rows)
+    concat (~0.9 s serial at 10M turns, the build's residual Amdahl term; every
+    serial driver second costs the wide level 4x the ratio damage of the narrow
+    one). Driver memory stays O(#convs) for the final map; past
+    ``DOCID_DRIVER_MAX_ROWS`` input rows, ``build_index`` switches to the
+    range-partitioned :func:`_docmap_ranged` path instead."""
+    import ray
+
+    # project BEFORE the scan: the counts pass needs 2 narrow columns, and
+    # select_columns pushes into ReadParquet so the text payload (the bulk of
+    # the bytes) is never decoded for this pass
+    refs = ds.select_columns(["conv_id", "turn_idx"]).map_batches(
+        _conv_partial_counts, batch_format="pyarrow", batch_size=65536
+    ).to_arrow_refs()
+    if len(refs) > CONV_MERGE_FANOUT:
+        global _MERGE_TASK
+        if _MERGE_TASK is None:
+            _MERGE_TASK = ray.remote(num_cpus=1)(_merge_conv_partials_task)
+        while len(refs) > 1:
+            refs = [
+                _MERGE_TASK.remote(*refs[i : i + CONV_MERGE_FANOUT])
+                for i in range(0, len(refs), CONV_MERGE_FANOUT)
+            ]
+        merged = ray.get(refs[0])
+    else:
+        merged = _merge_conv_partials(ray.get(refs))
+    if merged.num_rows == 0:
+        empty = np.zeros(0, dtype=np.int64)
+        return pa.array([], pa.string()), empty, empty.copy()
+    counts = merged["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    max_turn = merged["mx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    turn_sum = merged["sm"].to_numpy(zero_copy_only=False).astype(np.int64)
+    convs = merged["conv_id"].combine_chunks()  # stays Arrow; no Python list
     _validate_turn_density(convs, counts, max_turn, turn_sum)
     bases = np.zeros(len(convs), dtype=np.int64)
     np.cumsum(counts[:-1], out=bases[1:])

@@ -903,3 +903,72 @@ def test_df_cache_skips_resolve_bit_identical(built, ray_session, monkeypatch):
     before = len(calls)
     engine.search_many(["data AND query", "brandnewterm999"], k=5)
     assert len(calls) == before + 1
+
+
+def test_conv_offsets_tree_reduce_identical(ray_session):
+    """Past CONV_MERGE_FANOUT partial blocks the conv-offsets merge runs as a
+    tree of Ray tasks (VERDICT r03 #4 — the ~0.9 s driver-serial sort at 10M);
+    the result must be identical to the driver-side merge, and the tree path
+    must actually be taken."""
+    import ray
+
+    from lucille_ray.index import build as B
+
+    n = 4000
+    tab = pa.table(
+        {
+            "conv_id": pa.array(
+                [f"conv-{(i * 7919) % 400:04d}" for i in range(n)], pa.string()
+            ),
+            "turn_idx": pa.array([0] * n, pa.int32()),
+        }
+    )
+    # dense 0..n-1 turn_idx per conv, in scattered order
+    import collections
+
+    seen = collections.Counter()
+    turns = []
+    for c in tab["conv_id"].to_pylist():
+        turns.append(seen[c])
+        seen[c] += 1
+    tab = tab.set_column(1, "turn_idx", pa.array(turns, pa.int32()))
+
+    # 40 blocks >> fanout 8 -> forces two tree levels
+    ds = ray.data.from_arrow([tab.slice(i, 100) for i in range(0, n, 100)])
+    assert ds.num_blocks() > B.CONV_MERGE_FANOUT
+    convs_t, bases_t, counts_t = B._conv_offsets(ds)
+
+    # driver-path reference: merge every partial in-process
+    parts = [B._conv_partial_counts(tab.slice(i, 100)) for i in range(0, n, 100)]
+    merged = B._merge_conv_partials(parts)
+    counts_ref = merged["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    assert convs_t.to_pylist() == merged["conv_id"].to_pylist()
+    np.testing.assert_array_equal(counts_t, counts_ref)
+    np.testing.assert_array_equal(
+        bases_t, np.concatenate([[0], np.cumsum(counts_ref)[:-1]])
+    )
+
+    # the small-block path (<= fanout refs) still merges on the driver and agrees
+    ds_small = ray.data.from_arrow([tab])
+    convs_s, bases_s, counts_s = B._conv_offsets(ds_small)
+    assert convs_s.to_pylist() == convs_t.to_pylist()
+    np.testing.assert_array_equal(counts_s, counts_t)
+    np.testing.assert_array_equal(bases_s, bases_t)
+
+
+def test_conv_offsets_tree_reduce_validates(ray_session):
+    """Density violations surface through the tree path too."""
+    import ray
+
+    from lucille_ray.index import build as B
+
+    tab = pa.table(
+        {
+            "conv_id": pa.array([f"c{i % 50:03d}" for i in range(1000)], pa.string()),
+            "turn_idx": pa.array([0] * 1000, pa.int32()),  # duplicate turn 0
+        }
+    )
+    ds = ray.data.from_arrow([tab.slice(i, 50) for i in range(0, 1000, 50)])
+    assert ds.num_blocks() > B.CONV_MERGE_FANOUT
+    with pytest.raises(ValueError, match="dense\\+unique"):
+        B._conv_offsets(ds)
