@@ -333,11 +333,79 @@ class SegmentReader:
         src = self.manifest["input_path"]
         if src.endswith(":fused"):
             return self._doc_meta_from_convmap(doc_ids)
-        ds = pads.dataset(src)
         cols = ["doc_id", "conv_id", "turn_idx"]
-        return ds.to_table(
-            columns=cols, filter=pads.field("doc_id").isin(pa.array(doc_ids))
+        rgmap = self._docmap_rowgroups(src)
+        if rgmap is None:  # no usable doc_id stats: full predicate-pushdown scan
+            ds = pads.dataset(src)
+            return ds.to_table(
+                columns=cols, filter=pads.field("doc_id").isin(pa.array(doc_ids))
+            )
+        # k result docs live in O(k) row groups — read ONLY those (a top-k
+        # lookup was decoding the whole O(#turns) docmap per query otherwise:
+        # the ~130 ms/segment warm floor at 10M)
+        ids = np.unique(np.asarray(doc_ids, dtype=np.int64))
+        mins, maxs, files, rgs = rgmap
+        hit = np.flatnonzero(
+            (np.searchsorted(ids, maxs, side="right")
+             - np.searchsorted(ids, mins, side="left")) > 0
         )
+        parts = []
+        opened: Dict[str, pq.ParquetFile] = {}
+        for i in hit:
+            f = opened.get(files[i])
+            if f is None:
+                f = opened[files[i]] = pq.ParquetFile(files[i])
+            t = f.read_row_group(int(rgs[i]), columns=cols)
+            m = np.isin(t["doc_id"].to_numpy(zero_copy_only=False), ids)
+            if m.any():
+                parts.append(t.filter(pa.array(m)))
+        if not parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "conv_id": pa.array([], pa.string()),
+                    "turn_idx": pa.array([], pa.int32()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+    def _docmap_rowgroups(self, src: str):
+        """(mins, maxs, files, row_group_idx) doc_id stats per docmap row group,
+        built once from parquet footers (O(#row_groups) memory, no data read)."""
+        cached = getattr(self, "_docmap_rg_cache", False)
+        if cached is not False:
+            return cached
+        mins: List[int] = []
+        maxs: List[int] = []
+        files: List[str] = []
+        rgs: List[int] = []
+        try:
+            paths = (
+                sorted(
+                    os.path.join(r, fn)
+                    for r, _d, fns in os.walk(src)
+                    for fn in fns
+                    if fn.endswith(".parquet")
+                )
+                if os.path.isdir(src)
+                else [src]
+            )
+            for p in paths:
+                md = pq.ParquetFile(p).metadata
+                ci = md.schema.to_arrow_schema().names.index("doc_id")
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(ci).statistics
+                    if st is None or st.min is None or st.max is None:
+                        raise ValueError("missing doc_id stats")
+                    mins.append(int(st.min))
+                    maxs.append(int(st.max))
+                    files.append(p)
+                    rgs.append(g)
+            out = (np.asarray(mins), np.asarray(maxs), files, np.asarray(rgs))
+        except Exception:
+            out = None
+        self._docmap_rg_cache = out
+        return out
 
     def _doc_meta_from_convmap(self, doc_ids: np.ndarray) -> pa.Table:
         """Fused-docmap indexes keep no O(#turns) forward index; the O(#convs)

@@ -217,6 +217,13 @@ def phrase_top_k(
     """Exact top-k of a phrase/proximity query over one segment, decoding only
     anchor blocks whose phrase upper bound can still beat the running k-th
     best (and other terms only around those candidates)."""
+    cache_key = (field, tuple(terms), gap)
+    cached = _match_cache(reader).get(cache_key)
+    if cached is not None:
+        # complete match set known (docs + final scores) — any k, zero decodes
+        if cached[0].size == 0:
+            return EMPTY
+        return top_k(cached[0], cached[1], k)
     uniq = list(dict.fromkeys(terms))
     raw = reader.raw_blocks_many(field, uniq)
     for t in uniq:
@@ -312,23 +319,8 @@ def phrase_top_k(
     s = sigma[idx]
     prunable = float(np.mean(s < s.max() - THETA_EPS))
     if prunable < 0.5:
-        key = (field, tuple(terms), gap)
-        hit = _match_cache(reader).get(key)
-        if hit is not None:
-            if hit[0].size == 0:
-                return EMPTY
-            return top_k(hit[0], hit[1], k)
         process(idx)
-        docs_all = (
-            np.concatenate(pool_docs) if pool_docs else EMPTY[0]
-        )
-        scores_all = (
-            np.concatenate(pool_scores) if pool_scores else EMPTY[1]
-        )
-        _match_cache_put(reader, key, docs_all, scores_all)
-        if docs_all.size == 0:
-            return EMPTY
-        return top_k(docs_all, scores_all, k)
+        complete = True
     else:
         pooled = 0
         pos = 0
@@ -338,14 +330,28 @@ def phrase_top_k(
             pos += take.size
             chunk *= 2
             pooled += process(take)
-        if pos < order.size:
+        complete = pos >= order.size
+        if not complete:
             theta = float(
                 -np.partition(-np.concatenate(pool_scores), k - 1)[k - 1]
             )
             rest = order[pos:]
             surv = rest[sigma[rest] >= theta - THETA_EPS]
+            # θ pruned nothing (near-flat bounds in practice — the 10M hot×hot
+            # shape: dl_min jitter spreads sigma past THETA_EPS so `prunable`
+            # reads 1.0, yet the k-th match score clears no block's bound):
+            # the pass is then COMPLETE and the match set cacheable, making
+            # warm repeats decode-free at any k.
+            complete = surv.size == rest.size
             if surv.size:
                 process(surv)
+    if complete:
+        docs_all = np.concatenate(pool_docs) if pool_docs else EMPTY[0]
+        scores_all = np.concatenate(pool_scores) if pool_scores else EMPTY[1]
+        _match_cache_put(reader, cache_key, docs_all, scores_all)
+        if docs_all.size == 0:
+            return EMPTY
+        return top_k(docs_all, scores_all, k)
     if not pool_docs:
         return EMPTY
     return top_k(np.concatenate(pool_docs), np.concatenate(pool_scores), k)

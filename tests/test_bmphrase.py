@@ -309,3 +309,88 @@ def test_flat_phrase_match_cache_byte_cap(flat):
         assert ("text", ("tx",), 0) in r._phrase_match_cache
     finally:
         bp.PHRASE_CACHE_BYTES = monkey_cap
+
+
+@pytest.fixture(scope="module")
+def jittered(ray_session, tmp_path_factory):
+    """The 10M hot x hot shape: every anchor block's dl_min comes from a SHORT
+    doc that contains both words but NOT the phrase, while actual matches live
+    only in LONG docs — so per-block sigma varies past THETA_EPS (`prunable`
+    reads ~1.0, forcing the theta branch) yet no actual score clears any
+    block's bound (theta prunes nothing -> the pass is complete)."""
+    import ray
+
+    root = str(tmp_path_factory.mktemp("bmphrase_jitter"))
+    index_dir = os.path.join(root, "index")
+    n = 4000
+    texts = []
+    for i in range(n):
+        if i % 2 == 0:
+            texts.append("data query " + " ".join(f"w{j}" for j in range(20 + i % 7)))
+        else:
+            # both words, wrong order: feasible for the block, never a match;
+            # pad length varies on a COARSER-than-block stripe so per-block
+            # dl_min (and sigma) actually differ across anchor blocks
+            texts.append(
+                "query data " + " ".join(f"p{j}" for j in range((i // 256) % 8))
+            )
+    tab = pa.table(
+        {
+            "conv_id": pa.array([f"c{i // 5:05d}" for i in range(n)], pa.string()),
+            "turn_idx": pa.array([i % 5 for i in range(n)], pa.int32()),
+            "role": pa.array(["user"] * n, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "tool": pa.array([""] * n, pa.string()),
+            "ts": pa.array(
+                [1_700_000_000_000_000 + i for i in range(n)], pa.timestamp("us")
+            ),
+        }
+    )
+    build_index(ray.data.from_arrow(tab), index_dir, num_segments=1, batch_size=1000)
+    return index_dir
+
+
+def test_theta_branch_complete_pass_is_cached(jittered, monkeypatch):
+    """When the theta branch ends up processing EVERY feasible block (survivor
+    cut prunes nothing — the measured 10M hot-phrase behavior), the complete
+    match set must be cached exactly like the flat path: warm repeats decode
+    zero varints and stay bit-identical at any k."""
+    from lucille_ray.index import codec
+    from lucille_ray.search import bmphrase as bp
+
+    engine = SearchEngine(jittered, parallel=False)
+    scorer = engine._scorers()[0]
+    r = max(scorer.readers, key=lambda rr: rr.doc_count)
+    q, reqs, ctx = engine.plan('"data query"')
+    field, terms, gap, _w = phrase_parts(q)
+
+    # precondition: this corpus really exercises the theta (prunable) branch
+    uniq = list(dict.fromkeys(terms))
+    raw = r.raw_blocks_many(field, uniq)
+    anchor = min(uniq, key=lambda t: int(raw[t].ns.sum()))
+    firsts, lasts, max_tf, dl_min = bp._term_block_meta(r, field, anchor, raw[anchor])
+    assert np.unique(dl_min).size > 1, "fixture must jitter per-block dl_min"
+
+    getattr(r, "_phrase_match_cache", {}).clear()
+    d1, s1 = phrase_top_k(r, ctx, field, terms, gap, k=10)
+    assert (field, tuple(terms), gap) in r._phrase_match_cache
+
+    decoded_vals = {"n": 0}
+    real = codec.decode_varints
+
+    def counting(buf):
+        out = real(buf)
+        decoded_vals["n"] += out.size
+        return out
+
+    monkeypatch.setattr("lucille_ray.index.codec.decode_varints", counting)
+    d2, s2 = phrase_top_k(r, ctx, field, terms, gap, k=10)
+    assert decoded_vals["n"] == 0, "warm repeat must not decode anything"
+    assert d2.tolist() == d1.tolist()
+    np.testing.assert_array_equal(s2, s1)
+    d3, s3 = phrase_top_k(r, ctx, field, terms, gap, k=3)
+    assert decoded_vals["n"] == 0
+    ev = SegmentEval(r, ctx, collect_term_requests(q), query=q)
+    ed, es = top_k(*ev.eval(q), 3)
+    assert d3.tolist() == ed.tolist()
+    np.testing.assert_array_equal(s3, es)
