@@ -97,19 +97,44 @@ INDEX_FORMAT_VERSION = 3  # v2: norms as reserved-term posting rows; v3: blocks
 
 
 def _conv_partial_counts(batch: pa.Table) -> pa.Table:
-    _limit_worker_threads()
-    import polars as pl
+    """One partial row per conv RUN in the batch (cnt / max turn / turn sum).
 
-    g = (
-        pl.from_arrow(batch.select(["conv_id", "turn_idx"]))
-        .group_by("conv_id")
-        .agg(
-            pl.len().alias("cnt"),
-            pl.col("turn_idx").max().alias("mx"),
-            pl.col("turn_idx").cast(pl.Int64).sum().alias("sm"),
+    Run-length segmentation, not a hash group_by: transcripts arrive in
+    (conv_id, turn_idx) order, so a conv is 1 run and the output is sorted —
+    the tree-merge's sorted fast path then never sorts. A conv split across
+    runs (unordered input) just emits multiple mergeable partial rows; the
+    merge sums them, so correctness never depends on the ordering. The
+    previous per-batch polars group_by was ~16 CPU-seconds of the 10M build
+    (the docID phase's scaling-limiting term)."""
+    _limit_worker_threads()
+    conv = batch["conv_id"].combine_chunks()
+    n = len(conv)
+    if n == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "mx": pa.array([], pa.int64()),
+                "sm": pa.array([], pa.int64()),
+            }
         )
+    turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if n == 1:
+        starts = np.zeros(1, dtype=np.int64)
+    else:
+        neq = pa.compute.not_equal(
+            conv.slice(1), conv.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(neq) + 1)).astype(np.int64)
+    cnt = np.diff(np.append(starts, n)).astype(np.int64)
+    return pa.table(
+        {
+            "conv_id": conv.take(pa.array(starts)),
+            "cnt": pa.array(cnt),
+            "mx": pa.array(np.maximum.reduceat(turn, starts)),
+            "sm": pa.array(np.add.reduceat(turn, starts)),
+        }
     )
-    return g.to_arrow()
 
 
 def _validate_turn_density(
@@ -141,10 +166,17 @@ def _merge_conv_partials(tables: List[pa.Table]) -> pa.Table:
     parts = pa.concat_tables(tables)
     if parts.num_rows == 0:
         return parts
-    order = pa.compute.sort_indices(parts["conv_id"])
-    parts = parts.take(order)
     conv_col = parts["conv_id"].combine_chunks()
     n = len(conv_col)
+    # sorted fast path: ordered input yields sorted per-block partials whose
+    # concat (block order) is already globally sorted — the O(n log n)
+    # sort_indices + take was the tree root's ~1 s fixed tail at 10M
+    if n > 1 and not pa.compute.all(
+        pa.compute.less_equal(conv_col.slice(0, n - 1), conv_col.slice(1))
+    ).as_py():
+        order = pa.compute.sort_indices(parts["conv_id"])
+        parts = parts.take(order)
+        conv_col = parts["conv_id"].combine_chunks()
     if n == 1:
         starts = np.zeros(1, dtype=np.int64)
     else:
@@ -190,10 +222,18 @@ def _conv_offsets(ds) -> Tuple[List[str], np.ndarray, np.ndarray]:
     range-partitioned :func:`_docmap_ranged` path instead."""
     import ray
 
-    # project BEFORE the scan: the counts pass needs 2 narrow columns, and
-    # select_columns pushes into ReadParquet so the text payload (the bulk of
-    # the bytes) is never decoded for this pass
-    refs = ds.select_columns(["conv_id", "turn_idx"]).map_batches(
+    # narrow the scan to 2 columns. select_columns does NOT push into
+    # ReadParquet (verified on this Ray version: the projected stream still
+    # decodes + ships the text payload, ~2.5x the cost), so when the dataset
+    # is a plain parquet read we re-read the source with columns= instead
+    src = getattr(ds, "_lucille_parquet_src", None)
+    if src is not None:
+        import ray.data
+
+        narrow = ray.data.read_parquet(src, columns=["conv_id", "turn_idx"])
+    else:
+        narrow = ds.select_columns(["conv_id", "turn_idx"])
+    refs = narrow.map_batches(
         _conv_partial_counts, batch_format="pyarrow", batch_size=65536
     ).to_arrow_refs()
     if len(refs) > CONV_MERGE_FANOUT:

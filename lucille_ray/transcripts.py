@@ -205,10 +205,21 @@ def generate(
 
 
 def read_transcripts(path: str):
-    """Lazy Ray Dataset over a transcripts parquet directory/file."""
+    """Lazy Ray Dataset over a transcripts parquet directory/file.
+
+    The source path is remembered on the dataset so column-pruned side scans
+    (build's conv-offsets pass) can re-read just what they need:
+    ``select_columns`` does NOT push into ReadParquet in this Ray version, so
+    a narrow re-read with ``columns=`` is ~2.5x cheaper than projecting the
+    full-width stream."""
     import ray.data
 
-    return ray.data.read_parquet(path)
+    ds = ray.data.read_parquet(path)
+    try:
+        ds._lucille_parquet_src = path
+    except AttributeError:
+        pass
+    return ds
 
 
 def _normalize_batch(batch: pa.Table) -> pa.Table:
