@@ -113,7 +113,13 @@ class SegmentScorer:
         (bmconj.py)."""
         from .bmconj import conj_parts, conj_top_k
         from .bmphrase import phrase_parts, phrase_top_k
-        from .wand import expansion_wand_parts, wand_parts, wand_top_k
+        from .wand import (
+            expansion_wand_parts,
+            single_term_top_k,
+            term_parts,
+            wand_parts,
+            wand_top_k,
+        )
 
         wand = wand_parts(query) if k is not None else None
         if (
@@ -138,6 +144,12 @@ class SegmentScorer:
             and os.environ.get("LR_BMPHRASE", "1") != "0"
             else None
         )
+        term1 = (
+            term_parts(query, ctx)
+            if k is not None and wand is None and conj is None and phrase is None
+            and os.environ.get("LR_BMTERM", "1") != "0"
+            else None
+        )
         all_docs, all_scores = [], []
         for r in self.readers:
             if r.doc_count == 0:
@@ -159,6 +171,11 @@ class SegmentScorer:
                 p_field, p_terms, p_gap, weights = phrase
                 docs, scores = phrase_top_k(r, ctx, p_field, p_terms, p_gap, k)
                 # innermost-first: eval's nested Boost multiply order
+                for w in reversed(weights):
+                    scores = scores * w
+            elif term1 is not None and r.deleted is None:
+                t_field, t_term, weights = term1
+                docs, scores = single_term_top_k(r, ctx, t_field, t_term, k)
                 for w in reversed(weights):
                     scores = scores * w
             else:

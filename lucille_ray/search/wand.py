@@ -42,7 +42,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..analysis import DEFAULT_FIELD
+from ..analysis import DEFAULT_FIELD, tokenize
 from ..query import nodes as qn
 from .eval import B, EMPTY, EvalContext, K1, simple_term_of, top_k
 
@@ -138,6 +138,124 @@ def expansion_wand_parts(
     if len(terms) < 2:
         return None  # empty/singleton expansions: plain eval is already minimal
     return [(field, t, 1.0) for t in terms], scale, 1
+
+
+def term_parts(
+    q: qn.Query, ctx: EvalContext, field: str = DEFAULT_FIELD
+) -> Optional[Tuple[str, str, Tuple[float, ...]]]:
+    """(field, token, boost weights outermost-first) for a bare single-token
+    Term wrapped only in Group/Boost/Field — the shape the plain evaluator was
+    fully decoding AND fully BM25-scoring per query (a hot term at 10M is a
+    2.5M-row `_bm25` per segment, ~180 ms warm). Like phrase_parts the weights
+    are returned as a tuple and applied innermost-first by the caller, so the
+    float multiply order matches eval's nested-Boost scoring exactly.
+
+    Pruning in :func:`single_term_top_k` ranks by UNBOOSTED scores, which
+    matches the final order only under a positive total scale — non-positive
+    products fall back."""
+    weights: List[float] = []
+    while isinstance(q, (qn.Group, qn.Boost, qn.Field)):
+        if isinstance(q, qn.Boost):
+            weights.append(float(q.weight))
+        elif isinstance(q, qn.Field):
+            field = q.field
+        q = q.q
+    if not isinstance(q, qn.Term):
+        return None
+    toks = tokenize(q.value)
+    if len(toks) != 1:
+        return None
+    prod = 1.0
+    for w in weights:
+        prod *= w
+    if prod <= 0:
+        return None
+    if ctx.idf(field, toks[0]) <= 0.0:
+        return None  # mirror wand_top_k's guard; plain eval handles it
+    return field, toks[0], tuple(weights)
+
+
+#: first chunk of bound-ordered blocks decoded by single_term_top_k
+TERM_CHUNK0 = 16
+
+
+def single_term_top_k(
+    reader, ctx: EvalContext, field: str, term: str, k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact top-k of one term over one segment by block-max score skipping:
+    per-block upper bound = BM25 at (max_tf, dl_min) (score is increasing in
+    tf, decreasing in dl — same expression and op order as `_bm25_exact`, so
+    `ub >= score(doc)` for every doc in the block). Blocks are processed in
+    bound order until every unprocessed bound is < θ - THETA_EPS; scores are
+    unboosted (the caller applies Boost weights innermost-first like eval).
+
+    Results are memoized per reader: a cached (K, docs, scores) answers any
+    k <= K by prefix (top_k output is already (score desc, doc_id asc))."""
+    cache = getattr(reader, "_term_topk_cache", None)
+    if cache is None:
+        cache = reader._term_topk_cache = {}
+    hit = cache.get((field, term))
+    if hit is not None and hit[0] >= k:
+        return hit[1][:k], hit[2][:k]
+    rb = reader.raw_blocks_many(field, [term]).get(term)
+    if rb is None or not len(rb):
+        return EMPTY
+    # full decoded+scored postings already cached (e.g. by an earlier plain
+    # eval of the same term): exact top-k with zero decodes
+    post = reader._post_cache.get((field, term, False))
+    base = getattr(reader, "_score_cache", {}).get((field, term))
+    if post is not None and base is not None:
+        docs, scores = top_k(post[0], base, k)
+        cache[(field, term)] = (k, docs, scores)
+        return docs, scores
+    firsts, lasts, max_tf, dl_min = _term_block_meta(reader, field, term, rb)
+    idf = ctx.idf(field, term)
+    avgdl = ctx.avgdl.get(field) or 1.0
+    tfm = max_tf  # float64 by _term_block_meta
+    ub = idf * tfm * (K1 + 1.0) / (tfm + K1 * (1.0 - B + B * dl_min / avgdl))
+    order = np.argsort(-ub, kind="stable")
+
+    pool_docs: List[np.ndarray] = []
+    pool_scores: List[np.ndarray] = []
+    pooled = 0
+
+    def process(take: np.ndarray) -> None:
+        nonlocal pooled
+        mask = np.zeros(len(rb), dtype=bool)
+        mask[take] = True
+        docs, tfs = _sorted2(rb.decode(False, keep=mask))
+        if docs.size == 0:
+            return
+        pool_docs.append(docs)
+        pool_scores.append(
+            _bm25_exact(reader, ctx, field, term, 1.0, docs, tfs)
+        )
+        pooled += docs.size
+
+    pos = 0
+    chunk = TERM_CHUNK0
+    while pos < order.size and pooled < k:
+        take = order[pos: pos + chunk]
+        pos += take.size
+        chunk *= 2
+        process(take)
+    if pos < order.size:
+        theta = float(
+            -np.partition(-np.concatenate(pool_scores), k - 1)[k - 1]
+        )
+        rest = order[pos:]
+        surv = rest[ub[rest] >= theta - THETA_EPS]
+        if surv.size:
+            process(surv)
+    if not pool_docs:
+        return EMPTY
+    docs, scores = top_k(
+        np.concatenate(pool_docs), np.concatenate(pool_scores), k
+    )
+    cache[(field, term)] = (k, docs, scores)
+    if len(cache) > 4096:
+        cache.pop(next(iter(cache)))
+    return docs, scores
 
 
 def _norms_window_min(reader, field: str) -> np.ndarray:

@@ -432,3 +432,118 @@ def test_expansion_wand_skips_hot_term_decode(built, monkeypatch):
         f"WAND decoded {wand_decoded} values vs full eval {full_decoded}; "
         f"the hot term alone is ~{2 * df_hot}"
     )
+
+
+# ---- single-term block-max top-k (wand.single_term_top_k) ----
+
+TERM_QUERIES = [
+    "data",
+    "query",
+    "the",
+    "xylophone42",
+    "data^2",
+    "(data)^0.5",
+    "role:assistant",
+    "role:(user)^3",
+    "((data^2))^1.5",
+]
+
+
+@pytest.mark.parametrize("qs", TERM_QUERIES, ids=repr)
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_single_term_identical_to_eval(built, qs, k):
+    """single_term_top_k == plain SegmentEval top-k, ranks AND scores, per
+    segment, with Boost weights applied innermost-first like eval."""
+    from lucille_ray.search.wand import single_term_top_k, term_parts
+
+    engine = SearchEngine(built, parallel=False)
+    q, reqs, ctx = engine.plan(qs)
+    tp = term_parts(q, ctx)
+    assert tp is not None, f"{qs!r} should be single-term eligible"
+    field, term, weights = tp
+    scorer = engine._scorers()[0]
+    for r in scorer.readers:
+        if r.doc_count == 0:
+            continue
+        td, ts = single_term_top_k(r, ctx, field, term, k)
+        for w in reversed(weights):
+            ts = ts * w
+        fresh = SegmentEval(r, ctx, collect_term_requests(q), query=q)
+        ed, es = top_k(*fresh.eval(q), k)
+        assert td.tolist() == ed.tolist(), f"{qs!r} k={k}: rank mismatch"
+        np.testing.assert_array_equal(ts, es)
+
+
+def test_single_term_engine_toggle_identical(built, monkeypatch):
+    """LR_BMTERM=0 pins the plain evaluator; answers must be bit-identical."""
+    baseline = {}
+    monkeypatch.setenv("LR_BMTERM", "0")
+    engine = SearchEngine(built, parallel=False)
+    for qs in TERM_QUERIES:
+        t = engine.search(qs, k=10, with_meta=False)
+        baseline[qs] = (t["doc_id"].to_pylist(), t["score"].to_pylist())
+    monkeypatch.setenv("LR_BMTERM", "1")
+    engine2 = SearchEngine(built, parallel=False)
+    for qs in TERM_QUERIES:
+        t = engine2.search(qs, k=10, with_meta=False)
+        assert t["doc_id"].to_pylist() == baseline[qs][0], qs
+        assert t["score"].to_pylist() == baseline[qs][1], qs
+
+
+def test_single_term_parts_shapes(built):
+    from lucille_ray.query import parse
+    from lucille_ray.search.wand import term_parts
+
+    engine = SearchEngine(built, parallel=False)
+    _q, _r, ctx = engine.plan("data")
+    assert term_parts(parse("data"), ctx) == ("text", "data", ())
+    assert term_parts(parse("data^2"), ctx) == ("text", "data", (2.0,))
+    f, t, w = term_parts(parse("((data^2))^1.5"), ctx)
+    assert (f, t) == ("text", "data") and w == (1.5, 2.0)
+    # ctx must carry the query's own resolved df (plan does this)
+    _q2, _r2, ctx_role = engine.plan("role:assistant")
+    assert term_parts(parse("role:assistant"), ctx_role) == (
+        "role", "assistant", ()
+    )
+    from lucille_ray.query import nodes as qn
+
+    # negative/zero total boost flips or collapses the order: fall back
+    assert term_parts(qn.Boost(qn.Term("data"), -1.0), ctx) is None
+    assert term_parts(qn.Boost(qn.Term("data"), 0.0), ctx) is None
+    assert term_parts(parse("a.b"), ctx) is None  # analyzer splits: phrase shape
+    assert term_parts(parse("data OR query"), ctx) is None
+    assert term_parts(parse("+data"), ctx) is None  # UnaryPlus stays on eval
+
+
+def test_single_term_skips_decodes_and_caches(built, monkeypatch):
+    """A hot term's repeat query must be answered from the per-reader top-k
+    cache (zero varint decodes), and any smaller k served from the same entry."""
+    from lucille_ray.index import codec
+    from lucille_ray.search.wand import single_term_top_k
+
+    engine = SearchEngine(built, parallel=False)
+    q, reqs, ctx = engine.plan("data")
+    scorer = engine._scorers()[0]
+    r = max(scorer.readers, key=lambda rr: rr.doc_count)
+    getattr(r, "_term_topk_cache", {}).clear()
+    r._post_cache.clear()
+    getattr(r, "_score_cache", {}).clear()
+    d1, s1 = single_term_top_k(r, ctx, "text", "data", 10)
+    assert d1.size == 10
+
+    decoded = {"n": 0}
+    real = codec.decode_varints
+
+    def counting(buf):
+        out = real(buf)
+        decoded["n"] += out.size
+        return out
+
+    monkeypatch.setattr("lucille_ray.index.codec.decode_varints", counting)
+    d2, s2 = single_term_top_k(r, ctx, "text", "data", 10)
+    assert decoded["n"] == 0, "warm repeat must not decode"
+    assert d2.tolist() == d1.tolist()
+    np.testing.assert_array_equal(s2, s1)
+    d3, s3 = single_term_top_k(r, ctx, "text", "data", 3)
+    assert decoded["n"] == 0
+    assert d3.tolist() == d1.tolist()[:3]
