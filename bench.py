@@ -161,7 +161,7 @@ def run_bench(num_cpus: int, turns: int, sf_dir: str) -> dict:
     compact_index(index_dir)
     results["compact_sec"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
-    engine = SearchEngine(index_dir, parallel=True)
+    engine = SearchEngine(index_dir, parallel=True, result_cache=False)
     engine.search("data", k=10, with_meta=False)  # warm actors
     results["engine_spawn_warm_sec"] = round(time.perf_counter() - t0, 3)
     t_stage = time.perf_counter()
@@ -191,7 +191,7 @@ def run_bench(num_cpus: int, turns: int, sf_dir: str) -> dict:
     #   (VERDICT r03 #1).
     batch = QUERY_SET * 4
     t_stage = time.perf_counter()
-    rep = SearchEngine(index_dir, parallel=True, replicas=4)
+    rep = SearchEngine(index_dir, parallel=True, replicas=4, result_cache=False)
     rep.warm_many(batch)
     rep_mode = rep.calibrate(batch)
     results["rep_striped"] = 1 if rep_mode == "striped" else 0
@@ -211,6 +211,20 @@ def run_bench(num_cpus: int, turns: int, sf_dir: str) -> dict:
     results["serve_passes_sec"] = round(time.perf_counter() - t_stage, 3)
     rep.shutdown()
     engine.shutdown()
+    # result-cache serving (LR_RESULTCACHE family): separate pool + stat so the
+    # scoring qps above stays comparable across rounds — this line measures the
+    # repeat-query serving feature, on by default in the engine
+    t_stage = time.perf_counter()
+    eng_c = SearchEngine(index_dir, parallel=True, result_cache=True)
+    eng_c.search_many(batch, k=10)  # populate per-reader result caches
+    qps_c = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        eng_c.search_many(batch, k=10)
+        qps_c = max(qps_c, len(batch) / (time.perf_counter() - t0))
+    results["query_qps_cached"] = round(qps_c, 1)
+    eng_c.shutdown()
+    results["cached_stage_sec"] = round(time.perf_counter() - t_stage, 3)
     log(f"[bench] query p50={results['query_p50_sec']*1000:.1f}ms "
         f"p95={results['query_p95_sec']*1000:.1f}ms "
         f"qps={results['query_qps']} batch_qps={results['query_qps_batch']} "
@@ -274,6 +288,7 @@ STAGE_KEYS = (
     "compact_sec",
     "engine_spawn_warm_sec",
     "latency_stage_sec",
+    "cached_stage_sec",
     "rep_spawn_warm_sec",
     "serve_passes_sec",
     "sf_index_and_query_sec",

@@ -49,7 +49,13 @@ class SegmentScorer:
     """Scores queries over a group of pinned segments (usable in-process or as a
     Ray actor via ``ray.remote(SegmentScorer)``)."""
 
-    def __init__(self, seg_dirs: Sequence[str], warm_norms: bool = True):
+    def __init__(
+        self,
+        seg_dirs: Sequence[str],
+        warm_norms: bool = True,
+        result_cache: bool = True,
+    ):
+        self.result_cache = result_cache
         self.readers = [SegmentReader(d) for d in seg_dirs]
         if warm_norms:
             # pay the per-field norms decode at ACTOR STARTUP, not on the first
@@ -150,10 +156,31 @@ class SegmentScorer:
             and os.environ.get("LR_BMTERM", "1") != "0"
             else None
         )
+        # per-reader exact top-k result cache: a reader serves one commit point
+        # (tombstones load in __init__), so (query AST, k) fully determines the
+        # answer; a cached K >= k answers by prefix since top_k output is
+        # (score desc, doc_id asc) ordered. Keyed by repr(query), NOT
+        # print_query — the printer rounds boosts to 2 decimals, which would
+        # collide distinct queries. Gated by the CONSTRUCTOR flag (the engine
+        # resolves LR_RESULTCACHE in the driver — env mutations after ray.init
+        # never reach running actors); bench latency stages pin it off so
+        # official qps stays a scoring measurement.
+        qkey = repr(query) if k is not None and self.result_cache else None
         all_docs, all_scores = [], []
         for r in self.readers:
             if r.doc_count == 0:
                 continue
+            if qkey is not None:
+                rcache = getattr(r, "_result_topk_cache", None)
+                if rcache is None:
+                    rcache = r._result_topk_cache = {}
+                got = rcache.get(qkey)
+                if got is not None and got[0] >= k:
+                    docs, scores = got[1][:k], got[2][:k]
+                    if docs.size:
+                        all_docs.append(docs)
+                        all_scores.append(scores)
+                    continue
             if wand is not None and r.deleted is None:
                 # WAND reads raw blocks below the tombstone filter, so a
                 # segment with deletes takes the (leaf-filtered) full
@@ -181,9 +208,13 @@ class SegmentScorer:
             else:
                 ev = SegmentEval(r, ctx, reqs, query=query)
                 docs, scores = ev.eval(query)
+            if docs.size and k is not None:
+                docs, scores = top_k(docs, scores, k)
+            if qkey is not None:
+                rcache[qkey] = (k, docs, scores)
+                if len(rcache) > 4096:
+                    rcache.pop(next(iter(rcache)))
             if docs.size:
-                if k is not None:
-                    docs, scores = top_k(docs, scores, k)
                 all_docs.append(docs)
                 all_scores.append(scores)
         if not all_docs:
@@ -248,7 +279,16 @@ class SearchEngine:
         parallel: Union[bool, str] = "auto",
         actors: Optional[int] = None,
         replicas: int = 1,
+        result_cache: Optional[bool] = None,
     ):
+        # per-reader exact top-k result cache; None defers to LR_RESULTCACHE
+        # (read HERE, in the driver, because env mutations after ray.init do
+        # not reach already-running scorer actors)
+        self._result_cache = (
+            result_cache
+            if result_cache is not None
+            else os.environ.get("LR_RESULTCACHE", "1") != "0"
+        )
         self.index_dir = index_dir
         with open(os.path.join(index_dir, INDEX_META_FILE)) as f:
             self.meta = json.load(f)
@@ -305,7 +345,7 @@ class SearchEngine:
         """All replica sets; each set covers every committed segment."""
         if not self.parallel:
             if self._local is None:
-                self._local = SegmentScorer(self.seg_dirs)
+                self._local = SegmentScorer(self.seg_dirs, result_cache=self._result_cache)
             return [[self._local]]
         if self._sets is None:
             import ray
@@ -330,7 +370,7 @@ class SearchEngine:
                 avail = int(res.get("CPU", ray.cluster_resources().get("CPU", 0)))
                 reps = max(1, min(reps, avail // len(live)))
             self._sets = [
-                [Actor.options(num_cpus=1).remote(g) for g in live]
+                [Actor.options(num_cpus=1).remote(g, True, self._result_cache) for g in live]
                 for _ in range(reps)
             ]
             self._actors = [a for s in self._sets for a in s]

@@ -547,3 +547,50 @@ def test_single_term_skips_decodes_and_caches(built, monkeypatch):
     d3, s3 = single_term_top_k(r, ctx, "text", "data", 3)
     assert decoded["n"] == 0
     assert d3.tolist() == d1.tolist()[:3]
+
+
+def test_result_cache_identical_and_prefix(built, monkeypatch):
+    """Engine answers with the per-reader result cache must be bit-identical
+    to cache-off answers, repeats must not re-score, and a smaller k must be
+    served as a prefix of the cached entry."""
+    from lucille_ray.search import engine as E
+
+    off = SearchEngine(built, parallel=False, result_cache=False)
+    on = SearchEngine(built, parallel=False, result_cache=True)
+    queries = ["data", "data OR query", "data AND query", '"data query"~2',
+               "dat*", "role:assistant AND (data OR query)^1.5"]
+    for qs in queries:
+        a = off.search(qs, k=10, with_meta=False)
+        b = on.search(qs, k=10, with_meta=False)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), qs
+        assert a["score"].to_pylist() == b["score"].to_pylist(), qs
+        # repeat + smaller k stay identical through the cache
+        b2 = on.search(qs, k=10, with_meta=False)
+        assert b2["doc_id"].to_pylist() == b["doc_id"].to_pylist(), qs
+        a3 = off.search(qs, k=3, with_meta=False)
+        b3 = on.search(qs, k=3, with_meta=False)
+        assert a3["doc_id"].to_pylist() == b3["doc_id"].to_pylist(), qs
+        assert a3["score"].to_pylist() == b3["score"].to_pylist(), qs
+
+    # repeat of a cached query must not call any scoring path at all
+    scorer = on._scorers()[0]
+    called = {"n": 0}
+    real = E.SegmentEval.eval
+
+    def counting(self, q):
+        called["n"] += 1
+        return real(self, q)
+
+    monkeypatch.setattr(E.SegmentEval, "eval", counting)
+    monkeypatch.setattr(
+        "lucille_ray.search.wand.wand_top_k",
+        lambda *a, **kw: (_ for _ in ()).throw(AssertionError("scored")),
+    )
+    t = on.search("data OR query", k=10, with_meta=False)
+    assert t.num_rows > 0 and called["n"] == 0
+
+    # a LARGER k than any cached entry recomputes (cannot be a prefix)
+    monkeypatch.undo()  # let the real scoring paths run again
+    t2 = on.search("data OR query", k=50, with_meta=False)
+    a2 = off.search("data OR query", k=50, with_meta=False)
+    assert t2["doc_id"].to_pylist() == a2["doc_id"].to_pylist()
