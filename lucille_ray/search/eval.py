@@ -604,8 +604,29 @@ def _positions_in(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
 
 
 def _union(results: List[Tuple[np.ndarray, np.ndarray]]):
-    docs = np.concatenate([r[0] for r in results])
-    scores = np.concatenate([r[1] for r in results])
+    live = [r for r in results if r[0].size]
+    if not live:
+        docs = np.concatenate([r[0] for r in results]) if results else EMPTY[0]
+        return docs, np.zeros(0, np.float64), np.zeros(0, np.int64)
+    total = sum(r[0].size for r in live)
+    lo = min(int(r[0].min()) for r in live)
+    hi = max(int(r[0].max()) for r in live)
+    span = hi - lo + 1
+    if 0 < span <= 2 * total + 4096 and span <= 32 << 20:
+        # dense accumulator for hot unions (same gate + exactness argument as
+        # wand._merge_top_k: docs unique within a clause result, clauses
+        # accumulate in list order, so per-doc float addition order matches
+        # the sparse add.at-over-concat path bit for bit)
+        s = np.zeros(span, dtype=np.float64)
+        c = np.zeros(span, dtype=np.int64)
+        for d, sc in live:
+            idx = d - lo
+            s[idx] += sc
+            c[idx] += 1
+        qual = np.flatnonzero(c)
+        return qual + lo, s[qual], c[qual]
+    docs = np.concatenate([r[0] for r in live])
+    scores = np.concatenate([r[1] for r in live])
     ud, inv = np.unique(docs, return_inverse=True)
     s = np.zeros(ud.size, dtype=np.float64)
     np.add.at(s, inv, scores)
@@ -624,7 +645,10 @@ def top_k(docs: np.ndarray, scores: np.ndarray, k: int):
     if docs.size == 0:
         return docs, scores
     if docs.size > k:
-        kth = -np.partition(-scores, k - 1)[k - 1]
+        # ascending partition read from the tail == k-th largest, without the
+        # two negation copies -np.partition(-scores, ...) allocates (those
+        # were ~50 ms per hot-OR query at 10M)
+        kth = np.partition(scores, docs.size - k)[docs.size - k]
         mask = scores >= kth
         cand_docs, cand_scores = docs[mask], scores[mask]
     else:

@@ -61,6 +61,11 @@ NORMS_WINDOW = 2048
 #: total bytes of memoized base-score arrays per reader (FIFO-evicted)
 SCORE_CACHE_BYTES = 256 << 20
 
+#: doc-span ceiling for _merge_top_k's dense accumulator (float64 + int16 per
+#: slot: 32M docs = 320 MB transient). Beyond it — e.g. a billion-doc segment
+#: with a skewed union — the sparse unique+add.at path is kept
+DENSE_MERGE_MAX_SPAN = 32 << 20
+
 
 def wand_parts(
     q: qn.Query, field: str = DEFAULT_FIELD
@@ -493,11 +498,18 @@ def wand_top_k(
     # BEFORE the union merge: a doc outside every interval has bound < θ−ε,
     # strictly below the final k-th score, so dropping it cannot change the
     # top-k — and the O(Σdf) unique+add.at merge was the warm-path floor for
-    # wide expansions (decode is cached; the union wasn't)
-    results = {
-        i: _restrict_to_intervals(r, cand_lo, cand_hi)
-        for i, r in results.items()
-    }
+    # wide expansions (decode is cached; the union wasn't). Restriction is an
+    # optimization, not a correctness step (unrestricted docs merge to sums
+    # below θ and lose in top_k), so when the surviving intervals COVER most
+    # of the doc range (flat hot x hot bounds: fragmented but near-total) the
+    # per-term searchsorted costs more than the rows it would drop — skip.
+    covered = float((cand_hi - cand_lo).sum())
+    span = float(cand_hi[-1] - cand_lo[0]) if cand_hi.size else 0.0
+    if span <= 0 or covered < 0.6 * span:
+        results = {
+            i: _restrict_to_intervals(r, cand_lo, cand_hi)
+            for i, r in results.items()
+        }
     return _merge_top_k(results, k)
 
 
@@ -510,6 +522,14 @@ def _restrict_to_intervals(
     unchanged."""
     docs, scores = r
     if docs.size == 0:
+        return r
+    if (
+        cand_lo.size == 1
+        and cand_lo[0] <= docs[0]
+        and docs[-1] < cand_hi[0]
+    ):
+        # one interval covering the whole list (the flat hot x hot case:
+        # nothing prunable) — skip the 2x searchsorted over millions of docs
         return r
     pos = np.searchsorted(cand_hi, docs, side="right")
     ok = pos < cand_lo.size
@@ -645,6 +665,45 @@ def _merge_top_k(results: dict, k: int, m: int = 1) -> Tuple[np.ndarray, np.ndar
     live = [results[i] for i in sorted(results) if results[i][0].size]
     if len(live) < m or not live:
         return EMPTY
+    total = sum(r[0].size for r in live)
+    lo = min(int(r[0][0]) for r in live)  # posting lists are sorted
+    hi = max(int(r[0][-1]) for r in live)
+    span = hi - lo + 1
+    if span <= 2 * total + 4096 and span <= DENSE_MERGE_MAX_SPAN:
+        # dense accumulator: hot unions (Σdf ~ doc span) were paying the
+        # O(n log n) sort inside np.unique plus scattered add.at over
+        # millions of rows (~0.7 s of a 10M hot-OR's ~0.9 s warm cost).
+        # Per-part fancy += is exact-equivalent: docs are unique WITHIN a
+        # part (posting lists), and parts accumulate in the same sorted
+        # clause order as the concat add.at, so every doc sees the identical
+        # float addition sequence (ties unchanged). Sparse unions and
+        # billion-doc spans keep the sparse path (span gate).
+        sums = np.zeros(span, dtype=np.float64)
+        counts = np.zeros(span, dtype=np.int16) if m > 1 else None
+        for d, s in live:
+            idx = d - lo
+            sums[idx] += s
+            if counts is not None:
+                counts[idx] += 1
+        # m == 1: matched docs are exactly sums != 0 — every part score is a
+        # positive BM25 term (wand_parts rejects boost <= 0; idf > 0), so a
+        # sum of them can never be 0.0
+        if counts is None:
+            nnz = int(np.count_nonzero(sums))
+            if nnz == 0:
+                return EMPTY
+            if nnz > k:
+                # k-th largest over the WHOLE span array: with > k positive
+                # matches the k-th largest is positive, so the zero slots
+                # (non-matches) can never enter the candidate mask — this
+                # avoids materializing all O(nnz) matched docs before top_k
+                kth = np.partition(sums, span - k)[span - k]
+                cand = np.flatnonzero(sums >= kth)
+            else:
+                cand = np.flatnonzero(sums)
+            return top_k(cand + lo, sums[cand], k)
+        qual = np.flatnonzero(counts >= m)
+        return top_k(qual + lo, sums[qual], k)
     docs = np.concatenate([r[0] for r in live])
     scores = np.concatenate([r[1] for r in live])
     ud, inv = np.unique(docs, return_inverse=True)
