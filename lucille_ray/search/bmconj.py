@@ -67,6 +67,33 @@ CONJ_CHUNK0 = 4
 #: cached step-function RMQ tables per reader (hot terms only; FIFO-evicted)
 STEPFN_CACHE_ENTRIES = 32
 
+#: byte cap for the per-reader complete-match cache shared by the block-max
+#: family (phrase/proximity and conjunction complete passes; keys are
+#: shape-disjoint tuples so the families never collide)
+MATCH_CACHE_BYTES = 128 << 20
+
+
+def match_cache(reader) -> dict:
+    """Per-reader cache of COMPLETE match sets, key -> (docs, scores). Valid
+    for ANY k for the reader's lifetime: a reader serves one commit point and
+    scores depend only on the commit-constant ctx. Populated by evaluations
+    that turn out to process every feasible block (the flat hot x hot shapes
+    where score-skipping cannot prune — exactly the expensive ones)."""
+    cache = getattr(reader, "_match_cache", None)
+    if cache is None:
+        cache = reader._match_cache = {}
+        reader._match_cache_bytes = 0
+    return cache
+
+
+def match_cache_put(reader, key, docs: np.ndarray, scores: np.ndarray) -> None:
+    cache = match_cache(reader)
+    cache[key] = (docs, scores)
+    reader._match_cache_bytes += docs.nbytes + scores.nbytes
+    while reader._match_cache_bytes > MATCH_CACHE_BYTES and len(cache) > 1:
+        od, os_ = cache.pop(next(iter(cache)))
+        reader._match_cache_bytes -= od.nbytes + os_.nbytes
+
 
 def conj_parts(
     q: qn.Query, field: str = DEFAULT_FIELD
@@ -202,6 +229,15 @@ def conj_top_k(
     excludes candidates present in a negative term's postings BEFORE scoring —
     per-doc score values are element-wise, so removal order vs eval's
     _apply_must_not (which filters after scoring) cannot change them."""
+    cache_key = (tuple(parts), negs)
+    cached = match_cache(reader).get(cache_key)
+    if cached is not None:
+        # complete match set known (docs + final summed scores): any k,
+        # zero decodes — the hot x hot conjunction's flat bounds force a
+        # full pass anyway, so its first evaluation caches below
+        if cached[0].size == 0:
+            return EMPTY
+        return top_k(cached[0], cached[1], k)
     by_field: dict = {}
     for field, term, _boost in parts:
         by_field.setdefault(field, []).append(term)
@@ -255,12 +291,14 @@ def conj_top_k(
     theta = -np.inf
     pos = 0
     chunk = CONJ_CHUNK0
+    complete = True  # flipped on the θ early-exit below
     while pos < order.size:
         if pooled >= k:
             theta = float(
                 -np.partition(-np.concatenate(pool_scores), k - 1)[k - 1]
             )
             if conj_ub[order[pos]] < theta - THETA_EPS:
+                complete = False
                 break  # descending order: every remaining block is below θ too
         take = order[pos: pos + chunk]
         pos += take.size
@@ -316,6 +354,17 @@ def conj_top_k(
         pool_docs.append(cand)
         pool_scores.append(scores)
         pooled += cand.size
+    if complete:
+        # every feasible anchor block was processed (the flat hot x hot
+        # shape): the pool IS the full match set — cache it so warm repeats
+        # skip the per-chunk decode + intersect entirely (same contract as
+        # bmphrase's complete-pass cache; shared byte-capped store)
+        docs_all = np.concatenate(pool_docs) if pool_docs else EMPTY[0]
+        scores_all = np.concatenate(pool_scores) if pool_scores else EMPTY[1]
+        match_cache_put(reader, cache_key, docs_all, scores_all)
+        if docs_all.size == 0:
+            return EMPTY
+        return top_k(docs_all, scores_all, k)
     if not pool_docs:
         return EMPTY
     return top_k(np.concatenate(pool_docs), np.concatenate(pool_scores), k)

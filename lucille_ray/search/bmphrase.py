@@ -55,40 +55,19 @@ import numpy as np
 
 from ..analysis import DEFAULT_FIELD, tokenize
 from ..query import nodes as qn
-from .bmconj import STEPFN_CACHE_ENTRIES, _StepMax
+from .bmconj import STEPFN_CACHE_ENTRIES, _StepMax, match_cache, match_cache_put
 from .eval import B, EMPTY, EvalContext, K1, SegmentEval, top_k
 from .wand import THETA_EPS, _sorted2, _term_block_meta
 
 #: first chunk of anchor blocks decoded per round (doubles every round)
 PHRASE_CHUNK0 = 4
 
-#: byte cap for the per-reader complete-match cache (docs + scores arrays)
-PHRASE_CACHE_BYTES = 128 << 20
-
-
-def _match_cache(reader) -> dict:
-    """Per-reader cache of COMPLETE phrase match sets, (field, terms, gap) ->
-    (docs, scores): the flat-bound path (hot×hot phrases — no block can be
-    pruned) must evaluate every feasible block anyway, so its result is the
-    full exact match set and is valid for ANY k for the reader's lifetime (a
-    reader serves one commit point; scores depend only on the commit-constant
-    ctx). This is VERDICT r03 #3's 'cached chain-start counts for hot pairs':
-    the ~1 s warm floor of hot positional queries was re-decoding the same
-    multi-million-posting positions per query."""
-    cache = getattr(reader, "_phrase_match_cache", None)
-    if cache is None:
-        cache = reader._phrase_match_cache = {}
-        reader._phrase_match_bytes = 0
-    return cache
-
-
-def _match_cache_put(reader, key, docs: np.ndarray, scores: np.ndarray) -> None:
-    cache = _match_cache(reader)
-    cache[key] = (docs, scores)
-    reader._phrase_match_bytes += docs.nbytes + scores.nbytes
-    while reader._phrase_match_bytes > PHRASE_CACHE_BYTES and len(cache) > 1:
-        od, os_ = cache.pop(next(iter(cache)))
-        reader._phrase_match_bytes -= od.nbytes + os_.nbytes
+# complete-match caching (VERDICT r03 #3: the ~1 s warm floor of hot
+# positional queries was re-decoding the same multi-million-posting positions
+# per query) now lives in bmconj.match_cache / match_cache_put, shared with
+# the conjunction family; phrase keys are (field, terms-tuple, gap).
+_match_cache = match_cache
+_match_cache_put = match_cache_put
 
 
 def phrase_parts(

@@ -303,3 +303,68 @@ def test_conj_randomized_full_engine_soak(built, ray_session, monkeypatch):
         b = engine.search(qs, k=k, with_meta=False)
         assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), (qs, k)
         assert a["score"].to_pylist() == b["score"].to_pylist(), (qs, k)
+
+
+@pytest.fixture(scope="module")
+def flat_conj(ray_session, tmp_path_factory):
+    """Uniform corpus: both words once per doc, identical doc lengths — every
+    anchor block's conjunction bound equals the shared max, so theta never
+    prunes and the pass is complete."""
+    import ray
+
+    root = str(tmp_path_factory.mktemp("bmconj_flat"))
+    index_dir = os.path.join(root, "index")
+    n = 4000
+    tab = pa.table(
+        {
+            "conv_id": pa.array([f"c{i // 5:05d}" for i in range(n)], pa.string()),
+            "turn_idx": pa.array([i % 5 for i in range(n)], pa.int32()),
+            "role": pa.array(["user"] * n, pa.string()),
+            "text": pa.array(
+                [f"data query w{i % 7} filler pad" for i in range(n)], pa.string()
+            ),
+            "tool": pa.array([""] * n, pa.string()),
+            "ts": pa.array(
+                [1_700_000_000_000_000 + i for i in range(n)], pa.timestamp("us")
+            ),
+        }
+    )
+    build_index(ray.data.from_arrow(tab), index_dir, num_segments=1, batch_size=1000)
+    return index_dir
+
+
+def test_conj_complete_pass_cached(flat_conj, monkeypatch):
+    """A flat-bound (hot x hot) conjunction processes every feasible block;
+    the complete match set must be cached so warm repeats decode zero varints
+    and stay bit-identical at any k (shared match_cache with bmphrase)."""
+    from lucille_ray.index import codec
+    from lucille_ray.search.bmconj import conj_parts, conj_top_k
+
+    engine = SearchEngine(flat_conj, parallel=False)
+    q, reqs, ctx = engine.plan("data AND query")
+    parts, negs, _scale = conj_parts(q)
+    scorer = engine._scorers()[0]
+    r = max(scorer.readers, key=lambda rr: rr.doc_count)
+    getattr(r, "_match_cache", {}).clear()
+    d1, s1 = conj_top_k(r, ctx, parts, 10, tuple(negs))
+    assert (tuple(parts), tuple(negs)) in r._match_cache
+
+    decoded = {"n": 0}
+    real = codec.decode_varints
+
+    def counting(buf):
+        out = real(buf)
+        decoded["n"] += out.size
+        return out
+
+    monkeypatch.setattr("lucille_ray.index.codec.decode_varints", counting)
+    d2, s2 = conj_top_k(r, ctx, parts, 10, tuple(negs))
+    assert decoded["n"] == 0, "warm repeat must not decode"
+    assert d2.tolist() == d1.tolist()
+    np.testing.assert_array_equal(s2, s1)
+    d3, s3 = conj_top_k(r, ctx, parts, 3, tuple(negs))
+    assert decoded["n"] == 0
+    ev = SegmentEval(r, ctx, collect_term_requests(q), query=q)
+    ed, es = top_k(*ev.eval(q), 3)
+    assert d3.tolist() == ed.tolist()
+    np.testing.assert_array_equal(s3, es)

@@ -249,7 +249,7 @@ def flat(ray_session, tmp_path_factory):
     return index_dir
 
 
-def test_flat_phrase_match_cache_warm_repeat(flat, monkeypatch):
+def test_flat_match_cache_warm_repeat(flat, monkeypatch):
     """Flat-bound (hot x hot) phrase: the first evaluation computes the
     COMPLETE match set and caches it; a repeat query must decode ZERO varints
     and return bit-identical results for any k (VERDICT r03 #3)."""
@@ -262,9 +262,9 @@ def test_flat_phrase_match_cache_warm_repeat(flat, monkeypatch):
     field, terms, gap, _w = phrase_parts(q)
 
     # cold pass populates the cache
-    getattr(r, "_phrase_match_cache", {}).clear()
+    getattr(r, "_match_cache", {}).clear()
     d1, s1 = phrase_top_k(r, ctx, field, terms, gap, k=10)
-    assert (field, tuple(terms), gap) in r._phrase_match_cache
+    assert (field, tuple(terms), gap) in r._match_cache
 
     decoded_vals = {"n": 0}
     real = codec.decode_varints
@@ -288,27 +288,28 @@ def test_flat_phrase_match_cache_warm_repeat(flat, monkeypatch):
     np.testing.assert_array_equal(s3, es)
 
 
-def test_flat_phrase_match_cache_byte_cap(flat):
+def test_flat_match_cache_byte_cap(flat):
     """The match cache evicts FIFO past its byte cap instead of growing."""
     import lucille_ray.search.bmphrase as bp
 
     engine = SearchEngine(flat, parallel=False)
     scorer = engine._scorers()[0]
     r = max(scorer.readers, key=lambda rr: rr.doc_count)
-    r._phrase_match_cache = {}
-    r._phrase_match_bytes = 0
+    import lucille_ray.search.bmconj as bc
+
+    r._match_cache = {}
+    r._match_cache_bytes = 0
     big = np.zeros(1024, np.int64)
-    cap_entries = bp.PHRASE_CACHE_BYTES // (2 * big.nbytes)
     for i in range(3):
         bp._match_cache_put(r, ("text", (f"t{i}",), 0), big, big.astype(np.float64))
-    assert len(r._phrase_match_cache) == 3  # far under the cap: all kept
-    monkey_cap, bp.PHRASE_CACHE_BYTES = bp.PHRASE_CACHE_BYTES, 3 * big.nbytes
+    assert len(r._match_cache) == 3  # far under the cap: all kept
+    monkey_cap, bc.MATCH_CACHE_BYTES = bc.MATCH_CACHE_BYTES, 3 * big.nbytes
     try:
         bp._match_cache_put(r, ("text", ("tx",), 0), big, big.astype(np.float64))
-        assert len(r._phrase_match_cache) < 4
-        assert ("text", ("tx",), 0) in r._phrase_match_cache
+        assert len(r._match_cache) < 4
+        assert ("text", ("tx",), 0) in r._match_cache
     finally:
-        bp.PHRASE_CACHE_BYTES = monkey_cap
+        bc.MATCH_CACHE_BYTES = monkey_cap
 
 
 @pytest.fixture(scope="module")
@@ -371,9 +372,9 @@ def test_theta_branch_complete_pass_is_cached(jittered, monkeypatch):
     firsts, lasts, max_tf, dl_min = bp._term_block_meta(r, field, anchor, raw[anchor])
     assert np.unique(dl_min).size > 1, "fixture must jitter per-block dl_min"
 
-    getattr(r, "_phrase_match_cache", {}).clear()
+    getattr(r, "_match_cache", {}).clear()
     d1, s1 = phrase_top_k(r, ctx, field, terms, gap, k=10)
-    assert (field, tuple(terms), gap) in r._phrase_match_cache
+    assert (field, tuple(terms), gap) in r._match_cache
 
     decoded_vals = {"n": 0}
     real = codec.decode_varints
