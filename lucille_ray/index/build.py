@@ -110,9 +110,11 @@ def _conv_partial_counts(batch: pa.Table) -> pa.Table:
     conv = batch["conv_id"].combine_chunks()
     n = len(conv)
     if n == 0:
+        # keep the SOURCE conv_id type (large_string sources would otherwise
+        # schema-mismatch non-empty partials in the merge concat)
         return pa.table(
             {
-                "conv_id": pa.array([], pa.string()),
+                "conv_id": pa.array([], conv.type),
                 "cnt": pa.array([], pa.int64()),
                 "mx": pa.array([], pa.int64()),
                 "sm": pa.array([], pa.int64()),

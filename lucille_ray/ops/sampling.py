@@ -105,9 +105,14 @@ def kmv_distinct(ds, k: int = 64, *, group_col: str = "event_type",
     def round4(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        key = t[group_col]
+        if pa.types.is_large_string(key.type):
+            # polars-produced partials carry large_string through the groupby;
+            # driver gate + joins expect plain string (CLAUDE.md dtype rule)
+            key = pc.cast(key, pa.string())
         return pa.table(
             {
-                group_col: t[group_col],
+                group_col: key,
                 "kth_hash": t["kth_hash"],
                 "est_distinct_r": pc.round(t["est"], 4),
             }

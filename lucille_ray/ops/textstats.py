@@ -360,17 +360,23 @@ def tfidf_keywords(ds, k: int = 3, *, text_col: str = "text",
         scored = joined.map_batches(score, batch_format="pyarrow")
 
     top = grouped_topk(scored, k=k, key_col=id_col, val_col="s", id_col="term")
-    return top.map_batches(
-        lambda t: pa.table(
+
+    def finish(t: pa.Table) -> pa.Table:
+        term = t["term"]
+        if pa.types.is_large_string(term.type):
+            # polars tokenization upstream emits large_string; normalize to
+            # plain string at the op boundary (CLAUDE.md dtype rule)
+            term = pc.cast(term, pa.string())
+        return pa.table(
             {
                 id_col: t[id_col],
-                "term": t["term"],
+                "term": term,
                 "rk": t["rk"],
                 "score_r": pc.round(t["s"], 4),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")
 
 
 TFIDF_KEYWORDS_SQL = """

@@ -97,21 +97,25 @@ def match_cache_put(reader, key, docs: np.ndarray, scores: np.ndarray) -> None:
 
 def conj_parts(
     q: qn.Query, field: str = DEFAULT_FIELD
-) -> Optional[Tuple[List[Tuple[str, str, float]], List[Tuple[str, str]], float]]:
+) -> Optional[
+    Tuple[List[Tuple[str, str, float]], List[Tuple[str, str]], Tuple[float, ...]]
+]:
     """Match the conjunction shapes eligible for block-max skipping:
     (Group/Boost/Field)* wrapping an And whose children are simple single-token
     terms, any of which may be negated (``Not`` / ``UnaryMinus`` around a
     simple term — exclusion doesn't contribute score, so the positive bounds
     stay valid and the match set only shrinks). Returns ((field, term, boost)
-    positives in clause order, (field, term) negatives, root scale) or None.
+    positives in clause order, (field, term) negatives, root Boost weights
+    outermost-first — applied innermost-first by the engine, eval's
+    nested-Boost multiply order) or None.
     UnaryPlus children fall back (eval accumulates UnaryPlus musts ahead of
     the other clauses, so the float order differs); duplicate positives fall
     back (eval sums duplicate clauses); zero positives fall back (pure
     negative matches nothing — eval's convention)."""
-    scale = 1.0
+    weights: List[float] = []
     while isinstance(q, (qn.Group, qn.Boost, qn.Field)):
         if isinstance(q, qn.Boost):
-            scale *= float(q.weight)
+            weights.append(float(q.weight))
         elif isinstance(q, qn.Field):
             field = q.field
         q = q.q
@@ -145,9 +149,12 @@ def conj_parts(
         # term's bounds are as flat as its postings — the chunked machinery
         # measured 0.5-0.9x of the plain evaluator at 10M, so fall back.
         return None
-    if scale <= 0 or any(b <= 0 for _f, _t, b in parts):
+    prod = 1.0
+    for w in weights:
+        prod *= w
+    if prod <= 0 or any(b <= 0 for _f, _t, b in parts):
         return None  # non-positive boosts flip the bound direction
-    return parts, negs, scale
+    return parts, negs, tuple(weights)
 
 
 class _StepMax:

@@ -185,15 +185,16 @@ class SegmentScorer:
                 # WAND reads raw blocks below the tombstone filter, so a
                 # segment with deletes takes the (leaf-filtered) full
                 # evaluator until a rewrite purges its tombstones
-                parts, scale, min_match = wand
+                parts, weights, min_match = wand
                 docs, scores = wand_top_k(r, ctx, parts, k, min_match)
-                if scale != 1.0:
-                    scores = scores * scale
+                # innermost-first: eval's nested Boost multiply order
+                for w in reversed(weights):
+                    scores = scores * w
             elif conj is not None and r.deleted is None:
-                parts, negs, scale = conj
+                parts, negs, weights = conj
                 docs, scores = conj_top_k(r, ctx, parts, k, tuple(negs))
-                if scale != 1.0:
-                    scores = scores * scale
+                for w in reversed(weights):
+                    scores = scores * w
             elif phrase is not None and r.deleted is None:
                 p_field, p_terms, p_gap, weights = phrase
                 docs, scores = phrase_top_k(r, ctx, p_field, p_terms, p_gap, k)
@@ -367,7 +368,11 @@ class SearchEngine:
                 # engine, join aggregators) can't host replica scorers, and
                 # over-asking leaves actors PENDING / thrashing
                 res = ray.available_resources()
-                avail = int(res.get("CPU", ray.cluster_resources().get("CPU", 0)))
+                # available_resources OMITS zero-quantity resources: a missing
+                # 'CPU' key means zero schedulable CPUs, so the default must
+                # be 0 (falling back to the cluster total would un-cap reps
+                # exactly when everything is busy — the PENDING deadlock)
+                avail = int(res.get("CPU", 0))
                 reps = max(1, min(reps, avail // len(live)))
             self._sets = [
                 [Actor.options(num_cpus=1).remote(g, True, self._result_cache) for g in live]

@@ -249,22 +249,30 @@ class EvalContext:
 
 
 def simple_term_of(
-    q: qn.Query, field: str, boost: float = 1.0
+    q: qn.Query, field: str, boost: float = 1.0, _boosted: bool = False
 ) -> Optional[Tuple[str, str, float]]:
     """(field, term, boost) when q is a plain single-token term (possibly wrapped
     in Group/Field/Boost), else None — the shape eligible for conjunctive
-    block-range pruning."""
+    block-range pruning.
+
+    NESTED Boost wrappers are rejected: eval scores them as sequential
+    innermost-first multiplies, while the block-max paths apply the clause
+    boost once inside `_bm25_exact` — (s*b1)*b2 != s*(b1*b2) in IEEE-754, so
+    collapsing them could flip an equal-score tie-break. Falling back to the
+    plain evaluator keeps the bit-identity contract unconditionally."""
     if isinstance(q, qn.Term):
         toks = tokenize(q.value)
         if len(toks) == 1:
             return (field, toks[0], boost)
         return None
     if isinstance(q, qn.Field):
-        return simple_term_of(q.q, q.field, boost)
+        return simple_term_of(q.q, q.field, boost, _boosted)
     if isinstance(q, qn.Group):
-        return simple_term_of(q.q, field, boost)
+        return simple_term_of(q.q, field, boost, _boosted)
     if isinstance(q, qn.Boost):
-        return simple_term_of(q.q, field, boost * float(q.weight))
+        if _boosted:
+            return None
+        return simple_term_of(q.q, field, boost * float(q.weight), True)
     return None
 
 
@@ -603,6 +611,13 @@ def _positions_in(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
     return np.searchsorted(haystack, needles)
 
 
+#: doc-span ceiling for the dense union accumulators in `_union` and
+#: wand._merge_top_k (float64 + count per slot: 32M docs = ~320 MB transient).
+#: Beyond it — e.g. a billion-doc segment with a skewed union — the sparse
+#: unique+add.at path is kept.
+DENSE_MERGE_MAX_SPAN = 32 << 20
+
+
 def _union(results: List[Tuple[np.ndarray, np.ndarray]]):
     live = [r for r in results if r[0].size]
     if not live:
@@ -612,7 +627,7 @@ def _union(results: List[Tuple[np.ndarray, np.ndarray]]):
     lo = min(int(r[0].min()) for r in live)
     hi = max(int(r[0].max()) for r in live)
     span = hi - lo + 1
-    if 0 < span <= 2 * total + 4096 and span <= 32 << 20:
+    if 0 < span <= 2 * total + 4096 and span <= DENSE_MERGE_MAX_SPAN:
         # dense accumulator for hot unions (same gate + exactness argument as
         # wand._merge_top_k: docs unique within a clause result, clauses
         # accumulate in list order, so per-doc float addition order matches

@@ -44,7 +44,15 @@ import numpy as np
 
 from ..analysis import DEFAULT_FIELD, tokenize
 from ..query import nodes as qn
-from .eval import B, EMPTY, EvalContext, K1, simple_term_of, top_k
+from .eval import (
+    B,
+    DENSE_MERGE_MAX_SPAN,
+    EMPTY,
+    EvalContext,
+    K1,
+    simple_term_of,
+    top_k,
+)
 
 #: absolute slack subtracted from θ before interval pruning (scores are O(1-100);
 #: float noise between bound-sum and score-sum is ~1e-12)
@@ -61,25 +69,24 @@ NORMS_WINDOW = 2048
 #: total bytes of memoized base-score arrays per reader (FIFO-evicted)
 SCORE_CACHE_BYTES = 256 << 20
 
-#: doc-span ceiling for _merge_top_k's dense accumulator (float64 + int16 per
-#: slot: 32M docs = 320 MB transient). Beyond it — e.g. a billion-doc segment
-#: with a skewed union — the sparse unique+add.at path is kept
-DENSE_MERGE_MAX_SPAN = 32 << 20
+
 
 
 def wand_parts(
     q: qn.Query, field: str = DEFAULT_FIELD
-) -> Optional[Tuple[List[Tuple[str, str, float]], float, int]]:
+) -> Optional[Tuple[List[Tuple[str, str, float]], Tuple[float, ...], int]]:
     """Match the WAND-eligible shapes: (Group/Boost/Field)* wrapping either an
     Or or a MinimumMatch whose children are all simple single-token terms.
-    Returns ((field, term, boost) parts, root scale, m) or None, where m is the
-    minimum number of matching clauses (1 for Or, ``q.num`` for MinimumMatch —
-    Query.scala:270-277's ``(a b c)@2``). Duplicate terms fall back (eval sums /
-    counts duplicate clauses separately)."""
-    scale = 1.0
+    Returns ((field, term, boost) parts, root Boost weights outermost-first,
+    m) or None, where m is the minimum number of matching clauses (1 for Or,
+    ``q.num`` for MinimumMatch — Query.scala:270-277's ``(a b c)@2``). Weights
+    are applied innermost-first by the engine — eval's nested-Boost multiply
+    order, bit for bit. Duplicate terms fall back (eval sums / counts
+    duplicate clauses separately)."""
+    weights: List[float] = []
     while isinstance(q, (qn.Group, qn.Boost, qn.Field)):
         if isinstance(q, qn.Boost):
-            scale *= float(q.weight)
+            weights.append(float(q.weight))
         elif isinstance(q, qn.Field):
             field = q.field
         q = q.q
@@ -104,14 +111,17 @@ def wand_parts(
             return None  # duplicate clauses sum per-clause; keep eval's float order
         seen.add((f, t))
         parts.append((f, t, b))
-    if scale <= 0 or any(b <= 0 for _f, _t, b in parts):
+    prod = 1.0
+    for w in weights:
+        prod *= w
+    if prod <= 0 or any(b <= 0 for _f, _t, b in parts):
         return None  # non-positive boosts flip the bound direction; fall back
-    return parts, scale, m
+    return parts, tuple(weights), m
 
 
 def expansion_wand_parts(
     q: qn.Query, ctx: EvalContext, field: str = DEFAULT_FIELD
-) -> Optional[Tuple[List[Tuple[str, str, float]], float, int]]:
+) -> Optional[Tuple[List[Tuple[str, str, float]], Tuple[float, ...], int]]:
     """WAND parts for a TOP-LEVEL dictionary-expansion node (Prefix / WildCard /
     TermRegex / Fuzzy / TermRange, possibly wrapped in Group/Boost/Field) —
     VERDICT r03 #6: the widest expansions (``[aa TO dz]``) were paying a full
@@ -120,13 +130,14 @@ def expansion_wand_parts(
 
     Exactness/parity: eval's boolean rewrite scores an expansion as a plain
     sum-of-BM25 union over ``ctx.expanded[spec]`` IN TUPLE ORDER with per-term
-    boost 1 and the outer Boost applied after the union — exactly the (parts,
-    scale, m=1) contract of :func:`wand_top_k`, whose merge accumulates in the
-    same parts order (ties break identically)."""
-    scale = 1.0
+    boost 1 and the outer Boost weights applied innermost-first after the
+    union — exactly the (parts, weights, m=1) contract of :func:`wand_top_k`,
+    whose merge accumulates in the same parts order (ties break
+    identically)."""
+    weights: List[float] = []
     while isinstance(q, (qn.Group, qn.Boost, qn.Field)):
         if isinstance(q, qn.Boost):
-            scale *= float(q.weight)
+            weights.append(float(q.weight))
         elif isinstance(q, qn.Field):
             field = q.field
         q = q.q
@@ -134,7 +145,10 @@ def expansion_wand_parts(
         q, (qn.Prefix, qn.WildCard, qn.TermRegex, qn.Fuzzy, qn.TermRange)
     ):
         return None
-    if scale <= 0:
+    prod = 1.0
+    for w in weights:
+        prod *= w
+    if prod <= 0:
         return None  # non-positive boost flips the bound direction; fall back
     from .eval import _spec_for
 
@@ -142,7 +156,7 @@ def expansion_wand_parts(
     terms = ctx.expanded.get(spec, ())
     if len(terms) < 2:
         return None  # empty/singleton expansions: plain eval is already minimal
-    return [(field, t, 1.0) for t in terms], scale, 1
+    return [(field, t, 1.0) for t in terms], tuple(weights), 1
 
 
 def term_parts(

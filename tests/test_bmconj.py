@@ -46,7 +46,7 @@ def built(ray_session, tmp_path_factory):
 def test_conj_parts_shapes():
     assert conj_parts(parse("a AND b")) is not None
     assert conj_parts(parse("(a AND b)^2")) == (
-        [("text", "a", 1.0), ("text", "b", 1.0)], [], 2.0,
+        [("text", "a", 1.0), ("text", "b", 1.0)], [], (2.0,),
     )
     assert conj_parts(parse("role:(a AND b)"))[0][0][0] == "role"
     assert conj_parts(parse("a AND b^3"))[0][1] == ("text", "b", 3.0)
@@ -54,10 +54,10 @@ def test_conj_parts_shapes():
     assert conj_parts(parse('a AND "b c"')) is None  # phrase clause
     assert conj_parts(parse("a AND -b")) is None  # 1 positive: no intersection to prune
     assert conj_parts(parse("a AND b AND -c")) == (
-        [("text", "a", 1.0), ("text", "b", 1.0)], [("text", "c")], 1.0,
+        [("text", "a", 1.0), ("text", "b", 1.0)], [("text", "c")], (),
     )  # negated simple terms are handled by candidate exclusion
     assert conj_parts(parse("a AND b AND NOT c AND -c")) == (
-        [("text", "a", 1.0), ("text", "b", 1.0)], [("text", "c")], 1.0,
+        [("text", "a", 1.0), ("text", "b", 1.0)], [("text", "c")], (),
     )  # duplicate negatives dedupe
     assert conj_parts(parse("-a AND -b")) is None  # pure negative: eval's EMPTY
     assert conj_parts(parse('a AND NOT "b c"')) is None  # non-simple negative
@@ -69,6 +69,9 @@ def test_conj_parts_shapes():
     from lucille_ray.query import nodes as qn
 
     assert conj_parts(qn.And((qn.Term("a"), qn.Boost(qn.Term("b"), -2.0)))) is None
+    # NESTED clause boosts fall back: eval multiplies sequentially while the
+    # block-max paths apply the clause boost once — (s*b1)*b2 != s*(b1*b2)
+    assert conj_parts(parse("a AND ((b^2))^3")) is None
 
 
 @pytest.mark.parametrize("qs", AND_QUERIES, ids=repr)
@@ -88,8 +91,10 @@ def test_conj_identical_to_eval(built, qs, k):
         fresh = SegmentEval(r, ctx, collect_term_requests(q), query=q)
         ed, es = top_k(*fresh.eval(q), k)
         assert cd.tolist() == ed.tolist(), f"{qs!r} k={k}: rank mismatch"
-        # eval(q) already applies the root boost; scale the conj side only
-        np.testing.assert_array_equal(cs * scale if scale != 1.0 else cs, es)
+        # eval(q) already applies the root boost; weight the conj side only
+        for w in reversed(scale):
+            cs = cs * w
+        np.testing.assert_array_equal(cs, es)
 
 
 def test_conj_engine_end_to_end_matches_oracle(built, ray_session):

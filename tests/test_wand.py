@@ -61,8 +61,10 @@ def test_wand_identical_to_eval(built, qs, k):
         ed, es = fresh.eval(q)
         ed, es = top_k(ed, es, k)
         assert wd.tolist() == ed.tolist(), f"{qs!r} k={k}: rank mismatch"
-        # eval(q) already applies the root boost; scale the WAND side only
-        np.testing.assert_array_equal(ws * scale if scale != 1.0 else ws, es)
+        # eval(q) already applies the root boost; weight the WAND side only
+        for w in reversed(scale):
+            ws = ws * w
+        np.testing.assert_array_equal(ws, es)
 
 
 def test_wand_engine_end_to_end_matches_oracle(built, ray_session):
@@ -232,7 +234,7 @@ def test_min_dl_exact_after_build_and_compaction(built, ray_session):
 def test_wand_parts_shapes():
     assert wand_parts(parse("a OR b")) is not None
     assert wand_parts(parse("(a OR b)^2")) == (
-        [("text", "a", 1.0), ("text", "b", 1.0)], 2.0, 1,
+        [("text", "a", 1.0), ("text", "b", 1.0)], (2.0,), 1,
     )
     assert wand_parts(parse("role:(a OR b)"))[0][0][0] == "role"
     assert wand_parts(parse("a AND b")) is None
@@ -240,12 +242,13 @@ def test_wand_parts_shapes():
     assert wand_parts(parse("a OR -b")) is None  # negative clause
     assert wand_parts(parse("a OR a")) is None  # duplicate clause float order
     assert wand_parts(parse("a OR b.c")) is None  # multi-token term
+    assert wand_parts(parse("a OR ((b^2))^3")) is None  # nested clause boost
     assert wand_parts(parse("a")) is None  # single term: plain path
     # MinimumMatch shapes
     assert wand_parts(parse("(a b c)@2"))[2] == 2
     assert wand_parts(parse("(a b c)@0"))[2] == 1  # eval treats num<=0 as 1
     assert wand_parts(parse("((a b c)@2)^1.5")) == (
-        [("text", "a", 1.0), ("text", "b", 1.0), ("text", "c", 1.0)], 1.5, 2,
+        [("text", "a", 1.0), ("text", "b", 1.0), ("text", "c", 1.0)], (1.5,), 2,
     )
     assert wand_parts(parse('(a "b c" d)@2')) is None  # phrase clause
     assert wand_parts(parse("(a a b)@2")) is None  # duplicate clauses count twice
@@ -338,7 +341,9 @@ def test_expansion_wand_identical_to_eval(built, qs, k):
         ed, es = fresh.eval(q)
         ed, es = top_k(ed, es, k)
         assert wd.tolist() == ed.tolist(), f"{qs!r} k={k}: rank mismatch"
-        np.testing.assert_array_equal(ws * scale if scale != 1.0 else ws, es)
+        for w in reversed(scale):
+            ws = ws * w
+        np.testing.assert_array_equal(ws, es)
 
 
 def test_expansion_wand_engine_toggle_identical(built, monkeypatch):
@@ -363,13 +368,13 @@ def test_expansion_wand_parts_shapes(built):
     engine = SearchEngine(built, parallel=False)
     q, _reqs, ctx = engine.plan("deploy*")
     ps = expansion_wand_parts(q, ctx)
-    assert ps is not None and ps[1] == 1.0 and ps[2] == 1
+    assert ps is not None and ps[1] == () and ps[2] == 1
     assert all(b == 1.0 for _f, _t, b in ps[0])
     # parts must follow ctx.expanded tuple order (eval's accumulation order)
     spec = next(iter(ctx.expanded))
     assert tuple(t for _f, t, _b in ps[0]) == ctx.expanded[spec]
     q2, _r2, ctx2 = engine.plan("(deploy*)^3")
-    assert expansion_wand_parts(q2, ctx2)[1] == 3.0
+    assert expansion_wand_parts(q2, ctx2)[1] == (3.0,)
     q3, _r3, ctx3 = engine.plan("role:a*")
     ps3 = expansion_wand_parts(q3, ctx3)
     if ps3 is not None:
