@@ -227,7 +227,12 @@ def _conv_offsets(ds) -> Tuple[List[str], np.ndarray, np.ndarray]:
     # narrow the scan to 2 columns. select_columns does NOT push into
     # ReadParquet (verified on this Ray version: the projected stream still
     # decodes + ships the text payload, ~2.5x the cost), so when the dataset
-    # is a plain parquet read we re-read the source with columns= instead
+    # is a plain parquet read we re-read the source with columns= instead.
+    # CONTRACT: _lucille_parquet_src is set ONLY by read_transcripts, directly
+    # on the untransformed read of that exact path (transforms return new
+    # Dataset objects, so the tag cannot leak through a map/filter); the
+    # source files must not change between this counts scan and the docmap
+    # scan that consumes `ds`, or doc_ids desync — see read_transcripts.
     src = getattr(ds, "_lucille_parquet_src", None)
     if src is not None:
         import ray.data

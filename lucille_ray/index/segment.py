@@ -350,7 +350,12 @@ class SegmentReader:
              - np.searchsorted(ids, mins, side="left")) > 0
         )
         parts = []
-        opened: Dict[str, pq.ParquetFile] = {}
+        # handles cached for the reader's lifetime (the reader is pinned in a
+        # scorer actor): reopening per query added footer-parse cost and let
+        # unclosed fds pile up until GC (ADVICE r04)
+        opened = getattr(self, "_docmap_pf_cache", None)
+        if opened is None:
+            opened = self._docmap_pf_cache = {}
         for i in hit:
             f = opened.get(files[i])
             if f is None:

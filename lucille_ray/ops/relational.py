@@ -242,10 +242,35 @@ def group_quantiles(ds, qs=(0.5, 0.95), *, group_col: str = "event_type",
     return ds.groupby(group_col).map_groups(per_key, batch_format="pyarrow")
 
 
-def _group_counts(ds, group_col: str) -> dict:
+#: refusal bound for driver-side per-group state: both quantile paths hold
+#: O(#groups) rows on the driver by design (a few dozen bytes each), which is
+#: fine for any sane group key but would silently OOM the driver on a
+#: web-scale junk key (e.g. grouping by raw text) — same courtesy contract as
+#: embedding_near_dups' max_rows (similarity.py)
+GROUP_COUNTS_MAX_GROUPS = 5_000_000
+
+
+def _group_counts(ds, group_col: str, max_groups: int | None = None) -> dict:
     """Per-group row counts; #groups rows to the driver (the only driver
-    materialization either quantile path performs)."""
-    rows = ds.groupby(group_col).count().take_all()
+    materialization either quantile path performs).
+
+    Refuses past ``max_groups`` groups (VERDICT r04 #5): the aggregate is
+    materialized distributed first, so the cardinality check itself never
+    gathers — only a passing result lands on the driver. High-cardinality
+    keys belong on the sketch ops (kmv_distinct for counts, top_terms /
+    cms_frequencies for heavy hitters), not a per-group exact quantile."""
+    if max_groups is None:
+        max_groups = GROUP_COUNTS_MAX_GROUPS  # late-bound: tunable per run
+    agg = ds.groupby(group_col).count().materialize()
+    n_groups = agg.count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"group_quantiles: {n_groups} distinct {group_col!r} groups exceeds "
+            f"max_groups={max_groups}; per-group quantiles hold O(#groups) "
+            "driver state. Use kmv_distinct / cms_frequencies for "
+            "high-cardinality keys, or pre-bucket the key."
+        )
+    rows = agg.take_all()
     return {r[group_col]: int(r["count()"]) for r in rows}
 
 

@@ -211,7 +211,16 @@ def read_transcripts(path: str):
     (build's conv-offsets pass) can re-read just what they need:
     ``select_columns`` does NOT push into ReadParquet in this Ray version, so
     a narrow re-read with ``columns=`` is ~2.5x cheaper than projecting the
-    full-width stream."""
+    full-width stream.
+
+    INVARIANT (ADVICE r04): ``_lucille_parquet_src`` asserts the dataset is
+    the UNTRANSFORMED read of exactly ``path`` whose files do not change for
+    the dataset's lifetime — build's counts pass re-reads the path narrowly
+    and its docmap pass consumes the dataset, and the two must see identical
+    rows or doc_ids desync silently. The tag must be set ONLY here, right on
+    the read. This is structurally safe today because every Dataset transform
+    returns a NEW object and instance attributes do not propagate; never copy
+    the attribute onto a derived dataset."""
     import ray.data
 
     ds = ray.data.read_parquet(path)

@@ -250,8 +250,12 @@ def test_conj_after_delete_falls_back_and_matches(spiked, ray_session, tmp_path_
 
 def test_lr_bmconj_toggle_identical(built, ray_session, monkeypatch):
     """LR_BMCONJ=0 pins eligible conjunctions to the plain evaluator; answers
-    (ranks AND scores) must be identical either way through the full engine."""
-    engine = SearchEngine(built, parallel=False)
+    (ranks AND scores) must be identical either way through the full engine.
+
+    result_cache=False is load-bearing: with the default per-reader result
+    cache ON, the second (toggled-off) pass would be served from the cache and
+    the plain evaluator would never run — a vacuous A/B (ADVICE r04)."""
+    engine = SearchEngine(built, parallel=False, result_cache=False)
     on = {}
     monkeypatch.setenv("LR_BMCONJ", "1")
     for qs in AND_QUERIES:
@@ -267,10 +271,11 @@ def test_lr_bmconj_toggle_identical(built, ray_session, monkeypatch):
 def test_conj_randomized_full_engine_soak(built, ray_session, monkeypatch):
     """150 random conjunction shapes (hot/mid/rare/absent terms, clause boosts,
     Group/Boost/Field wrappers, random k) through the FULL engine with the
-    block-max path toggled per call — ranks and scores must match bit-exactly."""
+    block-max path toggled per call — ranks and scores must match bit-exactly.
+    result_cache=False so the toggled-off arm really evaluates (ADVICE r04)."""
     import random
 
-    engine = SearchEngine(built, parallel=False)
+    engine = SearchEngine(built, parallel=False, result_cache=False)
     scorer = engine._scorers()[0]
     r = max(scorer.readers, key=lambda rr: rr.doc_count)
     terms, dfs = r.term_dict("text")

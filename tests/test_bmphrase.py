@@ -103,7 +103,8 @@ def test_phrase_randomized_soak(built, ray_session, monkeypatch):
         os.path.join(os.path.dirname(built), "data"), columns=["text"]
     )["text"].to_pylist()
     rng = random.Random(20260818)
-    engine = SearchEngine(built, parallel=False)
+    # result_cache=False so the toggled-off arm really evaluates (ADVICE r04)
+    engine = SearchEngine(built, parallel=False, result_cache=False)
     for _ in range(120):
         words = texts[rng.randrange(len(texts))].split()
         if len(words) < 3:
