@@ -1189,14 +1189,18 @@ def _tc(term: str, boost: float = 1.0) -> str:
 #   search_phrase          Phrase grammar + multi-token Term (analyzer split of
 #                          'batch.window' -> implicit phrase; r01 regression)
 #   search_proximity       Proximity (3-term, slop 3)
-#   search_expansions      Prefix + WildCard + TermRegex under one Or
-#   search_fuzzy_range     Fuzzy + TermRange under one Or
-#   search_boost           Boost + pure-Or WAND top-k
+#   search_expansions      Prefix + WildCard + TermRegex + Fuzzy + TermRange
+#                          under one Or (round 5: absorbed search_fuzzy_range,
+#                          freeing a driver row for a rotated-in op)
 #   search_not             Not + And
 #   search_minmatch        MinimumMatch (WAND m-of-n)
 #   search_field_role      Field (role + text fields)
-#   search_nested          Group + UnaryMinus + Or + And
-# (UnaryPlus is rank-identity by construction; covered in the pytest corpus.)
+#   search_nested          Group + UnaryMinus + Or + And + Boost (round 5:
+#                          scan^2 absorbed search_boost's Boost coverage,
+#                          freeing a second driver row)
+# (UnaryPlus is rank-identity by construction; covered in the pytest corpus.
+#  The two freed rows drive hash_sample and dedup_components — previously
+#  folded/pytest-only ops — per VERDICT r04 #8.)
 SEARCH_QUERIES: Dict[str, tuple] = {
     # name: (query string, oracle sql | None)
     "search_term": ("join", osql.search_sql([_tc("join")])),
@@ -1216,7 +1220,7 @@ SEARCH_QUERIES: Dict[str, tuple] = {
         ),
     ),
     "search_expansions": (
-        "s* OR s?ow OR /s(can|low)/",
+        "s* OR s?ow OR /s(can|low)/ OR joinx~1 OR [scan TO sort]",
         osql.search_sql(
             [
                 osql.expansion_clause("text", "tf.term LIKE 's%'"),
@@ -1224,23 +1228,12 @@ SEARCH_QUERIES: Dict[str, tuple] = {
                 osql.expansion_clause(
                     "text", "regexp_full_match(tf.term, 's(can|low)')"
                 ),
-            ]
-        ),
-    ),
-    "search_fuzzy_range": (
-        "joinx~1 OR [scan TO sort]",
-        osql.search_sql(
-            [
                 osql.expansion_clause("text", "levenshtein(tf.term, 'joinx') <= 1"),
                 osql.expansion_clause(
                     "text", "tf.term >= 'scan' AND tf.term <= 'sort'"
                 ),
             ]
         ),
-    ),
-    "search_boost": (
-        "join^2 OR hash^0.5",
-        osql.search_sql([_tc("join", 2.0), _tc("hash", 0.5)]),
     ),
     "search_not": (
         "join AND NOT hash",
@@ -1261,7 +1254,7 @@ SEARCH_QUERIES: Dict[str, tuple] = {
         ),
     ),
     "search_nested": (
-        "(join OR hash) AND (scan OR merge) -slow",
+        "(join OR hash) AND (scan^2 OR merge) -slow",
         None,  # assembled below
     ),
 }
@@ -1401,8 +1394,9 @@ def filter_all_matches_q(sf_dir: str):
 
     return ds.map_batches(fin, batch_format="pyarrow")
 
-# nested boolean: Or( And(Group(join|hash), Group(scan|merge)), UnaryMinus(slow) )
-# -> match docs of the And part, excluding 'slow'
+# nested boolean: Or( And(Group(join|hash), Group(scan^2|merge)), UnaryMinus(slow) )
+# -> match docs of the And part, excluding 'slow'; the scan^2 clause keeps the
+# Boost node driver-covered after search_boost's row rotated out (round 5)
 _or1 = (
     "SELECT doc_id, sum(s) AS s FROM ("
     + f"SELECT doc_id, s FROM ({_tc('join')}) UNION ALL SELECT doc_id, s FROM ({_tc('hash')})"
@@ -1410,11 +1404,11 @@ _or1 = (
 )
 _or2 = (
     "SELECT doc_id, sum(s) AS s FROM ("
-    + f"SELECT doc_id, s FROM ({_tc('scan')}) UNION ALL SELECT doc_id, s FROM ({_tc('merge')})"
+    + f"SELECT doc_id, s FROM ({_tc('scan', 2.0)}) UNION ALL SELECT doc_id, s FROM ({_tc('merge')})"
     + ") GROUP BY doc_id"
 )
 SEARCH_QUERIES["search_nested"] = (
-    "(join OR hash) AND (scan OR merge) -slow",
+    "(join OR hash) AND (scan^2 OR merge) -slow",
     osql.search_sql([_or1, _or2], mode="and", exclude=[_tc("slow")]),
 )
 
@@ -1427,12 +1421,25 @@ def registry() -> Dict[str, tuple]:
     Folded near-duplicate entries — the ops stay implemented + pytest-covered,
     they just share a driver row: minhash_lsh and minhash_dedup_pairs ride
     minhash_dedup_verified (the full signatures->bands->pairs->verify chain);
-    dedup_components rides embedding_dup_components (same iterative
-    connected-components pass); hash_sample rides stratified_sample (same
-    deterministic key-hash fate per stratum) and curation_pipeline's sample
-    stage; the per-node search folds are documented at SEARCH_QUERIES."""
+    the per-node search folds are documented at SEARCH_QUERIES. Round 5
+    rotated previously-folded hash_sample and dedup_components into their own
+    rows (VERDICT r04 #8), funded by folding search_fuzzy_range into
+    search_expansions and search_boost's Boost into search_nested."""
     out: Dict[str, tuple] = {
-        # --- changed this round (r03) ---
+        # --- changed this round (r05): rotated-in ops + widened search folds ---
+        "hash_sample": (hash_sample_q, _sql_hash_sample()),
+        "dedup_components": (dedup_components_q, _sql_dedup_components()),
+        "search_expansions": (
+            (lambda sf_dir, _q=SEARCH_QUERIES["search_expansions"][0]:
+             run_search(sf_dir, _q)),
+            SEARCH_QUERIES["search_expansions"][1],
+        ),
+        "search_nested": (
+            (lambda sf_dir, _q=SEARCH_QUERIES["search_nested"][0]:
+             run_search(sf_dir, _q)),
+            SEARCH_QUERIES["search_nested"][1],
+        ),
+        # --- changed r03 ---
         "video_temporal": (video_temporal_q, _sql_video_temporal()),
         "group_quantiles": (group_quantiles_q, _sql_group_quantiles()),
         "tfidf_keywords": (tfidf_keywords_q, _sql_tfidf_keywords()),

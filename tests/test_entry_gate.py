@@ -34,10 +34,11 @@ SUBSET = [
     "search_term",
     "search_phrase",
     "search_proximity",
-    "search_expansions",
-    "search_fuzzy_range",
+    "search_expansions",  # round 5: also carries Fuzzy + TermRange clauses
     "search_not",
-    "search_nested",
+    "search_nested",  # round 5: also carries the Boost node (scan^2)
+    "hash_sample",  # rotated into the driver registry (VERDICT r04 #8)
+    "dedup_components",
 ]
 
 

@@ -108,6 +108,67 @@ def test_search_many_matches_search(built):
         assert s["doc_id"].to_pylist() == bd.tolist()
 
 
+def test_folded_search_single_round_trip_identity(built, oracle):
+    """The folded sequential path (resolve futures + resolve_score in ONE
+    driver round-trip, VERDICT r04 #4) must answer bit-identically to the
+    classic plan-then-score path, with and without metadata, including on
+    plan-cache repeats."""
+    engine = SearchEngine(built[1], parallel=True)
+    ref = SearchEngine(built[1], parallel=False)
+    try:
+        engine.search("data", k=3, with_meta=False)  # warm stats (classic path)
+        for qs in QUERY_SET[::3]:
+            for _rep in range(2):  # rep 2 plans from the df/expansion memo
+                a = engine.search(qs, k=10, with_meta=True)
+                b = ref.search(qs, k=10, with_meta=True)
+                assert a.to_pydict() == b.to_pydict(), (qs, _rep)
+            _compare(engine, oracle, qs)
+    finally:
+        engine.shutdown()
+
+
+def test_placement_spread_param(built, oracle):
+    """placement='spread' schedules scorer actors with the SPREAD strategy
+    (multi-node readiness, VERDICT r04 #7); on this single-node fixture it
+    must still schedule everything and answer identically to default packing.
+    An unknown placement value fails fast."""
+    # one pool at a time: two live engines would pin 4 one-CPU actors on the
+    # 4-CPU test fixture and leave no headroom (CLAUDE.md trap)
+    answers = {}
+    for placement in ("spread", None):
+        eng = SearchEngine(built[1], parallel=True, placement=placement)
+        try:
+            for qs in QUERY_SET[::8]:
+                answers.setdefault(qs, []).append(
+                    eng.search(qs, k=10, with_meta=False).to_pydict()
+                )
+                _compare(eng, oracle, qs)
+        finally:
+            eng.shutdown()
+    for qs, (a, b) in answers.items():
+        assert a == b, qs
+    with pytest.raises(ValueError, match="placement"):
+        SearchEngine(built[1], parallel=True, placement="bogus")
+
+
+def test_expansion_memo_plans_resolve_free(built):
+    """After one resolve, dictionary-expansion queries plan from the driver
+    memo (no resolve round-trip) and the memoized plan is bit-identical."""
+    engine = SearchEngine(built[1], parallel=False)
+    for qs in ["deploy*", "cat~1", "[deploy TO deploys]", "c?tch", "/jump.*/"]:
+        q0, reqs0, ctx0 = engine.plan(qs)
+        from lucille_ray.query.parser import parse as _parse
+        from lucille_ray.search.eval import collect_term_requests as _ctr
+
+        q1 = _parse(qs)
+        hit = engine._plan_from_cache(q1, _ctr(q1))
+        assert hit is not None, f"{qs!r}: expansion memo missed"
+        _q, _reqs, ctx1 = hit
+        assert ctx1.expanded == ctx0.expanded, qs
+        assert ctx1.df == ctx0.df, qs
+        assert ctx1.n_docs == ctx0.n_docs and ctx1.avgdl == ctx0.avgdl
+
+
 def test_result_metadata_join(built):
     engine = SearchEngine(built[1], parallel=False)
     t = engine.search("xylophone42", k=5)
