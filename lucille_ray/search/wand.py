@@ -69,6 +69,10 @@ NORMS_WINDOW = 2048
 #: total bytes of memoized base-score arrays per reader (FIFO-evicted)
 SCORE_CACHE_BYTES = 256 << 20
 
+#: diagnostics: outcome of the most recent _suffix_merge in this process
+#: ({"early": bool, "n": parts}) — written for tests/profiling only
+SUFFIX_MERGE_LAST: Optional[dict] = None
+
 
 
 
@@ -414,6 +418,10 @@ def wand_top_k(
     if m > 1:
         return _minmatch_top_k(reader, ctx, terms_meta, k, m)
 
+    # per-part max-score upper bounds, free from the block metadata — lets
+    # the wide suffix-bound merge skip re-scanning every score array
+    part_ubs = {i: float(t[6].max()) for i, t in enumerate(terms_meta)}
+
     # ---- bootstrap θ: decode highest-impact terms until >= k docs seen,
     # then keep decoding CHEAP terms. A sparse term's 128-posting block can
     # straddle most of the segment, so leaving it undecoded poisons the
@@ -464,7 +472,7 @@ def wand_top_k(
                 docs,
                 _bm25_exact(reader, ctx, field, term, boost, docs, tfs, full=True),
             )
-        return _merge_top_k(results, k)
+        return _merge_top_k(results, k, ubs=part_ubs)
 
     # ---- event sweep: piecewise-constant upper bound over doc ranges ----
     # Bootstrap-decoded terms contribute their EXACT per-doc scores as point
@@ -501,7 +509,7 @@ def wand_top_k(
     keep = bound >= theta - THETA_EPS
     # candidate intervals [xs_s[i], xs_s[i+1]) where keep[i]; merge adjacent
     if not keep.any():
-        return _merge_top_k(results, k)
+        return _merge_top_k(results, k, ubs=part_ubs)
     cand_lo, cand_hi = _interval_bounds(xs_s, keep)
 
     for i in undecoded:
@@ -524,7 +532,7 @@ def wand_top_k(
             i: _restrict_to_intervals(r, cand_lo, cand_hi)
             for i, r in results.items()
         }
-    return _merge_top_k(results, k)
+    return _merge_top_k(results, k, ubs=part_ubs)
 
 
 def _restrict_to_intervals(
@@ -671,18 +679,149 @@ def _decode_full(reader, field: str, term: str, rb) -> Tuple[np.ndarray, np.ndar
     return docs, tfs
 
 
-def _merge_top_k(results: dict, k: int, m: int = 1) -> Tuple[np.ndarray, np.ndarray]:
+#: suffix-bound merge engages only for unions at least this wide (2-3 clause
+#: ORs rarely cross the bound early enough to beat the classic dense merge's
+#: single pass; the block-max interval sweep already serves them)
+SUFFIX_MERGE_MIN_PARTS = 4
+
+def _suffix_merge(
+    live: List[tuple], k: int, lo: int, span: int,
+    part_ubs: Optional[List[float]] = None,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Suffix-bound dense union top-k for WIDE unions (VERDICT r04 #6 — wide
+    dictionary expansions were paying a full dense scatter over Σdf postings
+    even warm).
+
+    Phase 1 (SELECTION, float order irrelevant): scatter parts in descending
+    per-part max-score order (``part_ubs`` — block-max upper bounds when the
+    caller has them for free, else exact per-part score maxima), maintaining
+    R = Σ max over the unscattered suffix; θ starts at the best single-part
+    k-th score (a free lower bound on the final k-th: per-doc final sums
+    dominate any one part) and is refreshed LAZILY from the k-th best partial
+    sum (also a valid lower bound — scores only grow) whenever a crossing
+    fails its cheapness test. Once R < θ−ε, every unscattered doc is out:
+    final(d) ≤ partial(d) + R < θ−ε ≤ final k-th, strictly below, so it can
+    neither enter the top-k nor tie the k-th. Because descending max-score
+    order puts rare high-idf terms FIRST, the parts the cut skips are exactly
+    the hot low-impact terms that dominate the scatter cost.
+
+    Phase 2 (EXACT): candidates = docs with partial + R ≥ θ−ε; their scores
+    are rebuilt from scratch IN QUERY-CLAUSE ORDER via one searchsorted
+    lookup per part — the identical float accumulation sequence to the
+    classic dense merge, so ranks, scores and ties are bit-identical. ε
+    absorbs float-order noise between selection sums and the recompute.
+
+    Never bails: when no early cut pays, every part is scattered and the
+    terminal rem=0 cut (candidates ≈ the top-k + ties) still finishes through
+    the recompute — bounded overhead of one np.partition over the classic
+    merge instead of a wasted double scatter."""
+    if span <= k:
+        return None
+    if part_ubs is not None:
+        maxs = np.asarray(part_ubs, dtype=np.float64)
+    else:
+        maxs = np.array([float(r[1].max()) for r in live])
+    order = np.argsort(-maxs, kind="stable")
+    # suffix[c] = Σ maxs of parts still unscattered once parts 0..c are done
+    suffix = np.concatenate([np.cumsum(maxs[order][::-1])[::-1][1:], [0.0]])
+    theta = -np.inf
+    for i in order[:2]:
+        s = live[i][1]
+        if s.size >= k:
+            theta = max(theta, float(-np.partition(-s, k - 1)[k - 1]))
+    if not np.isfinite(theta):
+        return None
+    sums = np.zeros(span, dtype=np.float64)
+    n = len(live)
+    sizes = np.array([r[0].size for r in live])[order]
+    remaining_rows = int(sizes.sum())
+    rem = float(suffix[-1])  # 0.0 — the all-scattered terminal state
+    full_refresh_ok = True
+    cut_early = False
+    # Lazy θ: the single-part seed is weak when docs match many parts, so the
+    # first crossing comes LATE (suffix must fall below the seed) — and that
+    # is the efficient place to cut: by then rem is small, so one full exact
+    # θ refresh (np.partition over the span) yields a tight candidate line
+    # (θ−rem) and a candidate set near the true top-k. Swept alternatives
+    # (periodic subsampled refreshes forcing earlier crossings) cut sooner
+    # but with 30x the candidates — the bigger recompute loses more than the
+    # saved scatter (measured at 10M: 106 ms vs 155-175 ms per segment).
+    for c in range(n):
+        d, s = live[order[c]]
+        sums[d - lo] += s
+        remaining_rows -= sizes[c]
+        if c + 1 >= n:
+            break
+        # Crossing alone is NOT the cut: accept only when the clause-order
+        # recompute is cheaper than the scatter it replaces (a searchsorted
+        # candidate lookup costs ~12x a scatter row, measured).
+        if suffix[c] < theta - THETA_EPS:
+            count = int(np.count_nonzero(sums >= theta - suffix[c] - THETA_EPS))
+            if count * (12 * n) > remaining_rows and full_refresh_ok:
+                theta = max(
+                    theta, float(np.partition(sums, span - k)[span - k])
+                )
+                full_refresh_ok = False
+                count = int(
+                    np.count_nonzero(sums >= theta - suffix[c] - THETA_EPS)
+                )
+            if count * (12 * n) <= remaining_rows:
+                rem = float(suffix[c])
+                cut_early = True
+                break
+    if not cut_early:
+        # every part scattered: finish through the candidate path anyway
+        # (rem = 0 ⇒ candidates ≈ the top-k + ties) — the clause-order
+        # recompute below restores the classic merge's exact float order
+        # without re-scattering everything
+        theta = max(theta, float(np.partition(sums, span - k)[span - k]))
+    # test/diagnostics hook: how the last suffix merge in this process ended
+    global SUFFIX_MERGE_LAST
+    SUFFIX_MERGE_LAST = {"early": cut_early, "n": n}
+    cand = np.flatnonzero(sums >= theta - rem - THETA_EPS)
+    if cand.size == 0:
+        return EMPTY
+    cdocs = cand + lo
+    out = np.zeros(cand.size, dtype=np.float64)
+    for d, s in live:
+        pos = np.searchsorted(d, cdocs)
+        okm = pos < d.size
+        okm[okm] &= d[pos[okm]] == cdocs[okm]
+        out[okm] += s[pos[okm]]
+    return top_k(cdocs, out, k)
+
+
+def _merge_top_k(
+    results: dict, k: int, m: int = 1, ubs: Optional[dict] = None
+) -> Tuple[np.ndarray, np.ndarray]:
     """Union-sum per-term contributions IN QUERY-CLAUSE ORDER (same float
     accumulation order as SegmentEval._union, so equal-score ties break
     identically), drop docs matching fewer than m terms, and take the exact
-    top-k."""
-    live = [results[i] for i in sorted(results) if results[i][0].size]
+    top-k. ``ubs`` optionally maps a result key to that part's max-score
+    upper bound (block-max, free at the wand_top_k call site) so the wide
+    suffix-bound merge skips its own per-part max pass."""
+    live_keys = [i for i in sorted(results) if results[i][0].size]
+    live = [results[i] for i in live_keys]
     if len(live) < m or not live:
         return EMPTY
     total = sum(r[0].size for r in live)
     lo = min(int(r[0][0]) for r in live)  # posting lists are sorted
     hi = max(int(r[0][-1]) for r in live)
     span = hi - lo + 1
+    if (
+        m == 1
+        and len(live) >= SUFFIX_MERGE_MIN_PARTS
+        and span <= 2 * total + 4096
+        and span <= DENSE_MERGE_MAX_SPAN
+    ):
+        part_ubs = (
+            [ubs[i] for i in live_keys]
+            if ubs is not None and all(i in ubs for i in live_keys)
+            else None
+        )
+        got = _suffix_merge(live, k, lo, span, part_ubs)
+        if got is not None:
+            return got
     if span <= 2 * total + 4096 and span <= DENSE_MERGE_MAX_SPAN:
         # dense accumulator: hot unions (Σdf ~ doc span) were paying the
         # O(n log n) sort inside np.unique plus scattered add.at over

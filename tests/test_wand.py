@@ -599,3 +599,110 @@ def test_result_cache_identical_and_prefix(built, monkeypatch):
     t2 = on.search("data OR query", k=50, with_meta=False)
     a2 = off.search("data OR query", k=50, with_meta=False)
     assert t2["doc_id"].to_pylist() == a2["doc_id"].to_pylist()
+
+
+@pytest.fixture(scope="module")
+def skewed_union(ray_session, tmp_path_factory):
+    """One rare high-impact term + five hot low-impact terms: the suffix-bound
+    merge's early cut is guaranteed (after the rare term the remaining hot
+    terms' summed max-score bound falls below the rare term's k-th score)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    n = 4000
+    rng = np.random.default_rng(20260819)
+    fillers = ["alpha", "beta", "gamma", "delta"]
+    texts = []
+    for i in range(n):
+        words = ["hoti%d" % j for j in range(5)]  # every hot term in every doc
+        words += [fillers[i % 4]] * int(rng.integers(1, 4))
+        if i % 200 == 0:
+            words += ["rarex"] * 5  # 20 docs, tf 5: high idf, high bound
+        texts.append(" ".join(words))
+    t = pa.table(
+        {
+            "conv_id": pa.array([f"c{i // 8:06d}" for i in range(n)]),
+            "turn_idx": pa.array([i % 8 for i in range(n)], pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array(texts),
+            "tool": pa.array(["none"] * n),
+            "ts": pa.array(
+                [1_700_000_000_000_000 + i for i in range(n)], pa.timestamp("us")
+            ),
+        }
+    )
+    root = str(tmp_path_factory.mktemp("sufmerge"))
+    data = os.path.join(root, "d.parquet")
+    pq.write_table(t, data)
+    idx = os.path.join(root, "idx")
+    build_index(ray.data.read_parquet(data), idx, num_segments=1, batch_size=800)
+    return idx
+
+
+def test_suffix_merge_early_cut_identity(skewed_union, monkeypatch):
+    """Engine-level: the wide skewed union answers bit-identically to the
+    plain evaluator whichever internal merge strategy ran (VERDICT r04 #6)."""
+    engine = SearchEngine(skewed_union, parallel=False, result_cache=False)
+    for qs in (
+        "rarex OR hoti0 OR hoti1 OR hoti2 OR hoti3 OR hoti4",
+        "hoti0 OR hoti1 OR hoti2 OR hoti3 OR hoti4",
+    ):
+        for k in (1, 10, 37):
+            a = engine.search(qs, k=k, with_meta=False)
+            q, reqs, ctx = engine.plan(qs)
+            r = engine._scorers()[0].readers[0]
+            ed, es = top_k(
+                *SegmentEval(r, ctx, collect_term_requests(q), query=q).eval(q), k
+            )
+            assert a["doc_id"].to_pylist() == ed.tolist(), (qs, k)
+            np.testing.assert_array_equal(a["score"].to_numpy(), es)
+
+
+def _classic_clause_order_merge(live, k, lo, span):
+    """Reference: the classic dense clause-order merge, inlined."""
+    sums = np.zeros(span)
+    for d, s in live:
+        sums[d - lo] += s
+    cand = np.flatnonzero(sums)
+    return top_k(cand + lo, sums[cand], k)
+
+
+def test_suffix_merge_unit_early_cut_and_terminal():
+    """Unit-level: _suffix_merge takes the early cut on a rare-anchor + hot-
+    tail union and the terminal rem=0 path on a flat union; both return the
+    classic clause-order merge's answer bit-for-bit (scores, ranks, ties)."""
+    import lucille_ray.search.wand as W
+
+    rng = np.random.default_rng(7)
+    span, lo = 50_000, 100
+    # part 0 (clause order): rare, high scores; parts 1..7: hot, low scores
+    live = []
+    rare_docs = np.sort(rng.choice(span, 40, replace=False)) + lo
+    live.append((rare_docs.astype(np.int64), rng.uniform(8.0, 12.0, 40)))
+    for _ in range(7):
+        docs = np.sort(rng.choice(span, 30_000, replace=False)) + lo
+        live.append((docs.astype(np.int64), rng.uniform(0.05, 0.2, docs.size)))
+    for k in (1, 10, 200):
+        got = W._suffix_merge(live, k, lo, span)
+        assert got is not None
+        if k <= 30:  # top-200 legitimately needs the hot tail: no early cut
+            assert W.SUFFIX_MERGE_LAST["early"], "rare-anchor union must cut early"
+        ref = _classic_clause_order_merge(live, k, lo, span)
+        assert got[0].tolist() == ref[0].tolist(), k
+        np.testing.assert_array_equal(got[1], ref[1])
+
+    flat = live[1:]  # hot-only: bound never crosses -> terminal rem=0 path
+    got = W._suffix_merge(flat, 10, lo, span)
+    assert got is not None
+    assert not W.SUFFIX_MERGE_LAST["early"]
+    ref = _classic_clause_order_merge(flat, 10, lo, span)
+    assert got[0].tolist() == ref[0].tolist()
+    np.testing.assert_array_equal(got[1], ref[1])
+
+    # explicit part_ubs (the wand_top_k block-max path) must agree too
+    ubs = [float(s.max()) * 1.05 for _d, s in live]  # loose bounds stay valid
+    got = W._suffix_merge(live, 10, lo, span, ubs)
+    ref = _classic_clause_order_merge(live, 10, lo, span)
+    assert got is not None and got[0].tolist() == ref[0].tolist()
+    np.testing.assert_array_equal(got[1], ref[1])
