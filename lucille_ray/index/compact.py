@@ -344,11 +344,18 @@ def _compact_segment(seg_dir: str, manifest: dict, manifest_path: str) -> None:
     merged = drop_empty_blocks(ds.sort(["field", "term", "bucket"])).map_batches(
         merge_fn, batch_size=2048, batch_format="pyarrow"
     )
+    # NOTE: combining min_rows_per_file AND max_rows_per_file makes this Ray
+    # version's parquet sink silently IGNORE row_group_size — the coalesced
+    # file comes out as ONE row group, so a cold term lookup decodes the
+    # segment's ENTIRE postings payload (min/max stats can't prune inside a
+    # row group). min + row_group_size alone is honored; drop the max here
+    # (file size is already bounded by the segment's own row count).
+    write_args = {k: v for k, v in POSTINGS_WRITE_ARGS.items()
+                  if k != "max_rows_per_file"}
+
     def _write():
         shutil.rmtree(tmp_path, ignore_errors=True)  # clean slate per attempt
-        merged.write_parquet(
-            tmp_path, min_rows_per_file=2048, **POSTINGS_WRITE_ARGS
-        )
+        merged.write_parquet(tmp_path, min_rows_per_file=2048, **write_args)
 
     _retry_fs_import_race(_write)
     # atomic publish: old dir moves aside, tmp takes its place

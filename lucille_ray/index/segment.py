@@ -287,12 +287,8 @@ class SegmentReader:
             else:
                 missing.append(term)
         if missing:
-            t = pq.read_table(
-                os.path.join(self.seg_dir, "postings.parquet"),
-                columns=["term", "bucket", "blocks"],
-                filters=[("field", "==", field), ("term", "in", missing)],
-            )
-            if t.num_rows:
+            t = self._read_postings_rows(field, missing)
+            if t is not None and t.num_rows:
                 order = pc.sort_indices(
                     t, sort_keys=[("term", "ascending"), ("bucket", "ascending")]
                 )
@@ -319,6 +315,105 @@ class SegmentReader:
                 while len(self._raw_cache) > self._raw_cache_cap:
                     self._raw_cache.popitem(last=False)
         return out
+
+    def _postings_files(self) -> list:
+        """Parquet handles + per-row-group (field, term) min/max stats for every
+        postings piece file, parsed ONCE per reader (readers are pinned in
+        long-lived scorer actors). The per-query ``pq.read_table(dir,
+        filters=...)`` was paying dataset discovery + open + footer parse on
+        EVERY cold (field, terms) miss — a ~12 ms floor per call even for
+        absent terms (the dominant rep-1 cost of sequential serving)."""
+        cached = getattr(self, "_postings_pf_cache", None)
+        if cached is not None:
+            return cached
+        root = os.path.join(self.seg_dir, "postings.parquet")
+        entries = []
+        for name in sorted(os.listdir(root)):
+            if not name.endswith(".parquet"):
+                continue
+            pf = pq.ParquetFile(os.path.join(root, name))
+            md = pf.metadata
+            fidx = tidx = None
+            if md.num_row_groups:
+                rg0 = md.row_group(0)
+                for i in range(rg0.num_columns):
+                    p = rg0.column(i).path_in_schema
+                    if p == "field":
+                        fidx = i
+                    elif p == "term":
+                        tidx = i
+            fmin: list = []
+            fmax: list = []
+            tmin: list = []
+            tmax: list = []
+            ok = fidx is not None and tidx is not None
+            if ok:
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    fs = rg.column(fidx).statistics
+                    ts = rg.column(tidx).statistics
+                    if (
+                        fs is None or ts is None
+                        or fs.min is None or fs.max is None
+                        or ts.min is None or ts.max is None
+                    ):
+                        ok = False  # no stats: read the file whole, filter exactly
+                        break
+                    fmin.append(fs.min)
+                    fmax.append(fs.max)
+                    tmin.append(ts.min)
+                    tmax.append(ts.max)
+            stats = None
+            if ok and fmin:
+                stats = (
+                    np.array(fmin), np.array(fmax), np.array(tmin), np.array(tmax)
+                )
+            entries.append((pf, stats))
+        self._postings_pf_cache = entries
+        return entries
+
+    def _read_postings_rows(self, field: str, missing: Sequence[str]):
+        """Rows of ``postings.parquet`` matching (field, term in missing), read
+        through cached handles with row-group pruning on the writers' (field,
+        term) min/max stats. Parquet stat truncation keeps min a prefix (a
+        valid lower bound) and increments max's last byte (a valid upper
+        bound), so pruning can only over-include — the exact filter below
+        decides membership. Row groups spanning a field boundary skip the term
+        test (term order restarts per field) and rely on the exact filter."""
+        ms = sorted(set(missing))
+        ms_np = np.array(ms)
+        vs = pa.array(ms)
+        parts = []
+        for pf, stats in self._postings_files():
+            if stats is None:
+                t = pf.read(columns=["field", "term", "bucket", "blocks"])
+            else:
+                fmin, fmax, tmin, tmax = stats
+                hit = (fmin <= field) & (field <= fmax)
+                pure = hit & (fmin == fmax)  # single-field groups: term-prunable
+                if pure.any():
+                    # first missing term >= tmin must be <= tmax for overlap
+                    first = np.searchsorted(ms_np, tmin[pure])
+                    sub = np.zeros(int(pure.sum()), dtype=bool)
+                    inb = first < ms_np.size
+                    sub[inb] = ms_np[first[inb]] <= tmax[pure][inb]
+                    keep = hit.copy()
+                    keep[np.flatnonzero(pure)] = sub
+                    hit = keep
+                gs = np.flatnonzero(hit)
+                if gs.size == 0:
+                    continue
+                t = pf.read_row_groups(
+                    gs.tolist(), columns=["field", "term", "bucket", "blocks"]
+                )
+            t = t.filter(
+                pc.and_(pc.equal(t["field"], field), pc.is_in(t["term"], value_set=vs))
+            )
+            if t.num_rows:
+                parts.append(t.select(["term", "bucket", "blocks"]))
+        if not parts:
+            return None
+        return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
 
     def cache_decoded(self, field: str, term: str, post: tuple) -> None:
         """Insert an externally-decoded postings triple into the shared cache

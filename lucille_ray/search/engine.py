@@ -88,14 +88,21 @@ class SegmentScorer:
         self.result_cache = result_cache
         self.readers = [SegmentReader(d) for d in seg_dirs]
         if warm_norms:
-            # pay the per-field norms decode at ACTOR STARTUP, not on the first
-            # query's tail latency (writes the .npy sidecar for later readers)
+            # pay the per-field norms decode AND the postings footer parse at
+            # ACTOR STARTUP, not on the first query's tail latency (the footer
+            # pass is ~4 ms on a compacted segment but ~300 ms on a many-piece
+            # uncompacted one; norms write the .npy sidecar for later readers)
             for r in self.readers:
                 try:
                     for f in r.manifest.get("fields", []):
                         r.norms(f)
                 except ValueError:
                     raise
+                except Exception:
+                    pass
+                try:
+                    if not r.empty:
+                        r._postings_files()
                 except Exception:
                     pass
 
