@@ -1033,3 +1033,77 @@ def test_conv_offsets_tree_reduce_validates(ray_session):
     assert ds.num_blocks() > B.CONV_MERGE_FANOUT
     with pytest.raises(ValueError, match="dense\\+unique"):
         B._conv_offsets(ds)
+
+
+def test_compacted_postings_keep_small_row_groups(built, tmp_path):
+    """Guard the Ray sink quirk: passing min_rows_per_file AND
+    max_rows_per_file together makes write_parquet silently drop
+    row_group_size, collapsing the compacted postings into ONE row group —
+    which defeats (field, term) min/max pruning and forces every cold term
+    lookup to decode the segment's entire postings payload."""
+    import glob
+
+    from lucille_ray.index import compact_index
+    from lucille_ray.index.build import POSTINGS_WRITE_ARGS
+
+    data_dir, _, _ = built
+    ds = T.read_transcripts(data_dir)
+    index_dir = str(tmp_path / "rgidx")
+    build_index(ds, index_dir, num_segments=1, range_width=128, batch_size=300)
+    compact_index(index_dir)
+    rgs = int(POSTINGS_WRITE_ARGS["row_group_size"])
+    files = glob.glob(
+        os.path.join(index_dir, "segments", "seg-00000", "postings.parquet", "*.parquet")
+    )
+    assert files
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        # every full multiple of row_group_size must have opened a new group
+        assert md.num_row_groups >= md.num_rows // rgs, (
+            f, md.num_rows, md.num_row_groups,
+        )
+
+
+def test_pruned_postings_read_matches_scan(built, tmp_path):
+    """_read_postings_rows (cached handles + row-group stat pruning) returns
+    exactly what the predicate-pushdown directory scan returns, on both the
+    multi-piece built layout and the compacted layout, for present / absent /
+    mixed term sets and the norms pseudo-term."""
+    from lucille_ray.index import compact_index
+    from lucille_ray.index.build import NORMS_TERM
+    from lucille_ray.index.segment import SegmentReader
+
+    data_dir, index_dir, _ = built
+    ds = T.read_transcripts(data_dir)
+    cidx = str(tmp_path / "pruneidx")
+    build_index(ds, cidx, num_segments=1, range_width=128, batch_size=300,
+                piece_merge_rows=None)
+
+    cases = [
+        ("text", ["data", "query", "join"]),
+        ("text", ["zz_definitely_absent"]),
+        ("text", ["data", "zz_absent", "deploy"]),
+        ("role", ["assistant"]),
+        ("tool", ["bash", "python"]),
+        ("text", [NORMS_TERM]),
+    ]
+
+    def check(seg_dir):
+        r = SegmentReader(seg_dir)
+        for field, terms in cases:
+            new = r._read_postings_rows(field, terms)
+            old = pq.read_table(
+                os.path.join(seg_dir, "postings.parquet"),
+                columns=["term", "bucket", "blocks"],
+                filters=[("field", "==", field), ("term", "in", terms)],
+            )
+            if new is None:
+                assert old.num_rows == 0, (field, terms)
+                continue
+            keys = [("term", "ascending"), ("bucket", "ascending")]
+            assert new.sort_by(keys).equals(old.sort_by(keys)), (field, terms)
+
+    for idx in (index_dir, cidx):  # built multi-piece layouts
+        check(os.path.join(idx, "segments", "seg-00000"))
+    compact_index(cidx)
+    check(os.path.join(cidx, "segments", "seg-00000"))
