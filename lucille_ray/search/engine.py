@@ -157,6 +157,7 @@ class SegmentScorer:
         from .bmconj import conj_parts, conj_top_k
         from .bmphrase import phrase_parts, phrase_top_k
         from .wand import (
+            expansion_term_parts,
             expansion_wand_parts,
             single_term_top_k,
             term_parts,
@@ -165,14 +166,20 @@ class SegmentScorer:
         )
 
         wand = wand_parts(query) if k is not None else None
+        exp_term = None
         if (
             wand is None and k is not None
             and os.environ.get("LR_BMEXP", "1") != "0"
         ):
             # top-level dictionary expansions score through WAND too: the
             # expanded union is a disjunction of simple terms (LR_BMEXP=0
-            # pins the plain evaluator — same A/B valve family as LR_BMCONJ)
+            # pins the plain evaluator — same A/B valve family as LR_BMCONJ);
+            # an expansion that resolved to exactly ONE term routes through
+            # the single-term block-max path instead (bit-identical scores,
+            # ~10x warm at 10M — see expansion_term_parts)
             wand = expansion_wand_parts(query, ctx)
+            if wand is None:
+                exp_term = expansion_term_parts(query, ctx)
         # LR_BMCONJ=0 / LR_BMPHRASE=0 pin eligible shapes to the plain
         # evaluator (A/B measurement + safety valve, like LR_FUSE_DOCMAP)
         conj = (
@@ -187,7 +194,7 @@ class SegmentScorer:
             and os.environ.get("LR_BMPHRASE", "1") != "0"
             else None
         )
-        term1 = (
+        term1 = exp_term if exp_term is not None else (
             term_parts(query, ctx)
             if k is not None and wand is None and conj is None and phrase is None
             and os.environ.get("LR_BMTERM", "1") != "0"

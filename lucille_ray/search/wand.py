@@ -163,6 +163,48 @@ def expansion_wand_parts(
     return [(field, t, 1.0) for t in terms], tuple(weights), 1
 
 
+def expansion_term_parts(
+    q: qn.Query, ctx: EvalContext, field: str = DEFAULT_FIELD
+) -> Optional[Tuple[str, str, Tuple[float, ...]]]:
+    """(field, term, weights) for a top-level dictionary expansion that
+    resolved to exactly ONE index term — the shape expansion_wand_parts
+    declines (``len(terms) < 2``) and the plain evaluator then pays a full
+    decode + full BM25 union for. On a synthetic-vocabulary corpus this is
+    the COMMON case (``dat*``, ``d?ta``, ``data~1`` all collapse to
+    ``data``): at 10M docs the plain path was ~650 ms warm per 4 segments
+    while single_term_top_k answers the identical query in ~70 ms.
+
+    Exactness: eval scores a 1-term expansion as BM25(term) with per-term
+    boost 1 and outer Boost weights applied innermost-first after the union
+    — exactly single_term_top_k's contract (caller multiplies
+    ``reversed(weights)``), so scores are bit-identical."""
+    weights: List[float] = []
+    while isinstance(q, (qn.Group, qn.Boost, qn.Field)):
+        if isinstance(q, qn.Boost):
+            weights.append(float(q.weight))
+        elif isinstance(q, qn.Field):
+            field = q.field
+        q = q.q
+    if not isinstance(
+        q, (qn.Prefix, qn.WildCard, qn.TermRegex, qn.Fuzzy, qn.TermRange)
+    ):
+        return None
+    prod = 1.0
+    for w in weights:
+        prod *= w
+    if prod <= 0:
+        return None  # non-positive scale flips rank order; fall back
+    from .eval import _spec_for
+
+    spec = _spec_for(q, field)
+    terms = ctx.expanded.get(spec, ())
+    if len(terms) != 1:
+        return None
+    if ctx.idf(field, terms[0]) <= 0.0:
+        return None  # mirror wand_top_k's guard; plain eval handles it
+    return field, terms[0], tuple(weights)
+
+
 def term_parts(
     q: qn.Query, ctx: EvalContext, field: str = DEFAULT_FIELD
 ) -> Optional[Tuple[str, str, Tuple[float, ...]]]:
