@@ -706,3 +706,44 @@ def test_suffix_merge_unit_early_cut_and_terminal():
     ref = _classic_clause_order_merge(live, 10, lo, span)
     assert got is not None and got[0].tolist() == ref[0].tolist()
     np.testing.assert_array_equal(got[1], ref[1])
+
+
+def test_single_term_expansion_routes_and_matches(built, monkeypatch):
+    """An expansion resolving to exactly ONE index term routes through the
+    single-term block-max path (expansion_term_parts) — previously it was
+    declined by expansion_wand_parts (< 2 parts) and paid the plain
+    evaluator's full decode + union. Answers must stay bit-identical to the
+    pinned plain evaluator for every expansion kind, including outer boosts
+    (weights applied in eval's innermost-first order)."""
+    from lucille_ray.search.wand import expansion_term_parts
+
+    QS = [
+        "xylophone4*",
+        "x?lophone42",
+        "/xylophone4[2]/",
+        "[xylophone42 TO xylophone42]",
+        "(xylophone4*)^2.5",
+    ]
+    engine = SearchEngine(built, parallel=False, result_cache=False)
+    routed = []
+    for qs in QS:
+        q, _reqs, ctx = engine.plan(qs)
+        n_terms = sum(len(v) for v in ctx.expanded.values())
+        if n_terms != 1:
+            continue  # corpus-dependent; the identity check below still runs
+        pt = expansion_term_parts(q, ctx)
+        assert pt is not None, qs
+        assert pt[0] == "text" and pt[1] == "xylophone42", qs
+        routed.append(qs)
+    assert routed, "no query expanded to exactly one term on this corpus"
+    assert expansion_term_parts(*engine.plan("deploy*")[::2]) is None  # multi-term
+
+    monkeypatch.setenv("LR_BMEXP", "0")
+    monkeypatch.setenv("LR_BMTERM", "0")
+    plain = SearchEngine(built, parallel=False, result_cache=False)
+    base = {qs: plain.search(qs, k=10, with_meta=False) for qs in QS}
+    monkeypatch.setenv("LR_BMEXP", "1")
+    monkeypatch.setenv("LR_BMTERM", "1")
+    fast = SearchEngine(built, parallel=False, result_cache=False)
+    for qs in QS:
+        assert fast.search(qs, k=10, with_meta=False).equals(base[qs]), qs
