@@ -375,3 +375,262 @@ def conj_top_k(
     if not pool_docs:
         return EMPTY
     return top_k(np.concatenate(pool_docs), np.concatenate(pool_scores), k)
+
+
+def conj_parts_compound(
+    q: qn.Query, field: str = DEFAULT_FIELD
+) -> Optional[Tuple[tuple, List[Tuple[str, str]], Tuple[float, ...]]]:
+    """Generalized conjunction shapes: an And whose positive clauses may be
+    DISJUNCTIONS of simple terms — ``(deploy OR data)^2 AND query`` — plus
+    the simple-term/negative clauses conj_parts already takes. The plain
+    evaluator fully decodes every member of every clause for these (measured
+    453 ms warm at 10M for the example above); the compound block-max path
+    anchors on a single-term clause and prunes like conj_top_k.
+
+    Returns (clauses, negs, root weights) where each clause is
+    ``(members, cweights)`` — members a tuple of (field, term, boost) in
+    query order (member boosts fold exactly like conj_parts, post-multiplied
+    by _bm25_exact), cweights the clause-level Boost weights outermost-first
+    (eval multiplies them AFTER the member union, innermost-first). None when
+    any shape rule fails, matching eval's float order unconditionally:
+    duplicate terms anywhere fall back (eval sums duplicates), nested boosts
+    fall back (simple_term_of's rule), UnaryPlus falls back, and the shape
+    must have >= 2 positives with >= 1 multi-member clause (all-simple is
+    conj_parts' job)."""
+    weights: List[float] = []
+    while isinstance(q, (qn.Group, qn.Boost, qn.Field)):
+        if isinstance(q, qn.Boost):
+            weights.append(float(q.weight))
+        elif isinstance(q, qn.Field):
+            field = q.field
+        q = q.q
+    if not isinstance(q, qn.And) or len(q.qs) < 2:
+        return None
+    clauses: List[tuple] = []
+    negs: List[Tuple[str, str]] = []
+    seen: set = set()
+    neg_seen: set = set()
+    any_multi = False
+    for c in q.qs:
+        if isinstance(c, (qn.Not, qn.UnaryMinus)):
+            s = simple_term_of(c.q, field)
+            if s is None:
+                return None
+            f, t, _b = s
+            if (f, t) not in neg_seen:
+                neg_seen.add((f, t))
+                negs.append((f, t))
+            continue
+        if isinstance(c, qn.UnaryPlus):
+            return None  # eval accumulates UnaryPlus musts first
+        # unwrap clause-level Group/Boost/Field down to an Or or a leaf
+        cw: List[float] = []
+        cf = field
+        node = c
+        while isinstance(node, (qn.Group, qn.Boost, qn.Field)):
+            if isinstance(node, qn.Boost):
+                cw.append(float(node.weight))
+            elif isinstance(node, qn.Field):
+                cf = node.field
+            node = node.q
+        if isinstance(node, qn.Or):
+            members = []
+            for ch in node.qs:
+                s = simple_term_of(ch, cf)
+                if s is None:
+                    return None
+                members.append(s)
+            any_multi = True
+            clause = (tuple(members), tuple(cw))
+        else:
+            # single-term clause: EXACTLY conj_parts' folding (one Boost max)
+            s = simple_term_of(c, field)
+            if s is None:
+                return None
+            clause = ((s,), ())
+        for f, t, b in clause[0]:
+            if (f, t) in seen or b <= 0:
+                return None
+            seen.add((f, t))
+        if any(w <= 0 for w in clause[1]):
+            return None
+        clauses.append(clause)
+    if len(clauses) < 2 or not any_multi:
+        return None
+    if not any(len(m) == 1 and not w for m, w in clauses):
+        return None  # no plain single-term clause to anchor the block sweep on
+    prod = 1.0
+    for w in weights:
+        prod *= w
+    if prod <= 0:
+        return None
+    return tuple(clauses), negs, tuple(weights)
+
+
+def conj_top_k_compound(
+    reader, ctx: EvalContext, clauses: tuple, k: int,
+    negs: Tuple[Tuple[str, str], ...] = (),
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """conj_top_k generalized to compound (OR-of-terms) clauses. A clause
+    matches a doc when ANY live member does; its score is the member BM25
+    sum accumulated in member order, then scaled by its cweights
+    innermost-first — the same float sequence as eval's union + Boost.
+    Returns None when this segment leaves no single-member clause to anchor
+    on (the caller falls back to the plain evaluator for this reader)."""
+    cache_key = (clauses, negs)
+    cached = match_cache(reader).get(cache_key)
+    if cached is not None:
+        if cached[0].size == 0:
+            return EMPTY
+        return top_k(cached[0], cached[1], k)
+    by_field: dict = {}
+    for members, _cw in clauses:
+        for f, t, _b in members:
+            by_field.setdefault(f, []).append(t)
+    raw = {
+        (f, t): blocks
+        for f, ts in by_field.items()
+        for t, blocks in reader.raw_blocks_many(f, ts).items()
+    }
+    # live members per clause: present in this segment with positive idf
+    live: List[tuple] = []  # (member metas tuple, cweights)
+    sizes: List[int] = []
+    for members, cw in clauses:
+        metas = []
+        size = 0
+        for f, t, b in members:
+            if ctx.idf(f, t) <= 0.0:
+                continue  # global df 0: matches nothing anywhere (eval EMPTY)
+            rb = raw.get((f, t))
+            if rb is None or not len(rb):
+                continue  # absent from this segment
+            firsts, lasts, max_tf, dl_min = _term_block_meta(reader, f, t, rb)
+            avgdl = ctx.avgdl.get(f) or 1.0
+            ub = b * ctx.idf(f, t) * max_tf * (K1 + 1.0) / (
+                max_tf + K1 * (1.0 - B + B * dl_min / avgdl)
+            )
+            metas.append((f, t, b, rb, firsts, lasts, ub))
+            size += int(rb.ns.sum())
+        if not metas:
+            return EMPTY  # a required clause matches nothing in this segment
+        live.append((tuple(metas), cw))
+        sizes.append(size)
+
+    anchors = [
+        i for i, (m, cw) in enumerate(live) if len(m) == 1 and not cw
+    ]
+    if not anchors:
+        return None  # no plain single-term clause left; plain eval instead
+    anchor = min(anchors, key=lambda i: sizes[i])
+    (a_meta,), _a_cw = live[anchor]
+    a_field, a_term, a_boost, a_rb, a_firsts, a_lasts, a_ub = a_meta
+    others = [i for i in range(len(live)) if i != anchor]
+
+    conj_ub = a_ub.astype(np.float64, copy=True)
+    feasible = np.ones(conj_ub.size, dtype=bool)
+    for j in others:
+        metas_j, cw_j = live[j]
+        mx = np.zeros(a_firsts.size, dtype=np.float64)
+        for f_m, t_m, b_m, rb_m, *_ in metas_j:
+            mx += b_m * _stepfn(reader, ctx, f_m, t_m, rb_m).interval_max(
+                a_firsts, a_lasts
+            )
+        feasible &= mx > 0.0  # no member covers the block: clause can't match
+        cwprod = 1.0
+        for w in cw_j:
+            cwprod *= w
+        conj_ub += cwprod * mx
+    idx = np.flatnonzero(feasible)
+    if idx.size == 0:
+        return EMPTY
+    order = idx[np.argsort(-conj_ub[idx], kind="stable")]
+    others_by_size = sorted(others, key=lambda j: sizes[j])
+
+    pool_docs: List[np.ndarray] = []
+    pool_scores: List[np.ndarray] = []
+    pooled = 0
+    theta = -np.inf
+    pos = 0
+    chunk = CONJ_CHUNK0
+    complete = True
+    while pos < order.size:
+        if pooled >= k:
+            theta = float(
+                -np.partition(-np.concatenate(pool_scores), k - 1)[k - 1]
+            )
+            if conj_ub[order[pos]] < theta - THETA_EPS:
+                complete = False
+                break
+        take = order[pos: pos + chunk]
+        pos += take.size
+        chunk *= 2
+        mask = np.zeros(len(a_rb), dtype=bool)
+        mask[take] = True
+        docs_a, tfs_a = _sorted2(a_rb.decode(False, keep=mask))
+        cand = docs_a
+        got: dict = {}  # (clause idx, member idx) -> (docs, scores)
+        for j in others_by_size:
+            metas_j, _cw_j = live[j]
+            present = np.zeros(cand.size, dtype=bool)
+            for mi, tm in enumerate(metas_j):
+                gj = _decode_candidates(reader, ctx, tm, cand, cand + 1)
+                if gj is None or gj[0].size == 0:
+                    continue
+                got[(j, mi)] = gj
+                dj = gj[0]
+                at = np.clip(np.searchsorted(dj, cand), 0, dj.size - 1)
+                present |= dj[at] == cand
+            cand = cand[present]
+            if cand.size == 0:
+                break
+        if cand.size == 0:
+            continue
+        for f_n, t_n in negs:
+            p = reader.postings_many(
+                f_n, [t_n], want_positions=False, candidates=cand
+            ).get(t_n)
+            if p is None or p[0].size == 0:
+                continue
+            nd = p[0]
+            idxn = np.clip(np.searchsorted(nd, cand), 0, nd.size - 1)
+            cand = cand[nd[idxn] != cand]
+            if cand.size == 0:
+                break
+        if cand.size == 0:
+            continue
+        # exact scores in clause order; within a clause, member order; then
+        # cweights innermost-first — eval's union + Boost + must-sum sequence
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for j, (metas_j, cw_j) in enumerate(live):
+            if j == anchor:
+                at = np.searchsorted(docs_a, cand)
+                vec = _bm25_exact(
+                    reader, ctx, a_field, a_term, a_boost, cand, tfs_a[at],
+                    full=False,
+                )
+            else:
+                vec = np.zeros(cand.size, dtype=np.float64)
+                for mi in range(len(metas_j)):
+                    gj = got.get((j, mi))
+                    if gj is None:
+                        continue
+                    dj, sj = gj
+                    at = np.clip(np.searchsorted(dj, cand), 0, dj.size - 1)
+                    hit = dj[at] == cand
+                    vec[hit] += sj[at[hit]]
+            for w in reversed(cw_j):
+                vec = vec * w
+            scores += vec
+        pool_docs.append(cand)
+        pool_scores.append(scores)
+        pooled += cand.size
+    if complete:
+        docs_all = np.concatenate(pool_docs) if pool_docs else EMPTY[0]
+        scores_all = np.concatenate(pool_scores) if pool_scores else EMPTY[1]
+        match_cache_put(reader, cache_key, docs_all, scores_all)
+        if docs_all.size == 0:
+            return EMPTY
+        return top_k(docs_all, scores_all, k)
+    if not pool_docs:
+        return EMPTY
+    return top_k(np.concatenate(pool_docs), np.concatenate(pool_scores), k)

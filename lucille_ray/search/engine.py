@@ -154,7 +154,12 @@ class SegmentScorer:
         score-skipping path (exact by construction; see wand.py); pure
         conjunctions of simple terms take the block-max conjunction path
         (bmconj.py)."""
-        from .bmconj import conj_parts, conj_top_k
+        from .bmconj import (
+            conj_parts,
+            conj_parts_compound,
+            conj_top_k,
+            conj_top_k_compound,
+        )
         from .bmphrase import phrase_parts, phrase_top_k
         from .wand import (
             expansion_term_parts,
@@ -185,6 +190,15 @@ class SegmentScorer:
         conj = (
             conj_parts(query)
             if k is not None and wand is None
+            and os.environ.get("LR_BMCONJ", "1") != "0"
+            else None
+        )
+        # conjunctions whose positive clauses include OR-of-simple-terms
+        # disjunctions — (a OR b)^w AND c — anchor on a single-term clause
+        # and prune like conj_top_k (same LR_BMCONJ valve; bit-identical)
+        conjc = (
+            conj_parts_compound(query)
+            if k is not None and wand is None and conj is None
             and os.environ.get("LR_BMCONJ", "1") != "0"
             else None
         )
@@ -239,6 +253,17 @@ class SegmentScorer:
                 docs, scores = conj_top_k(r, ctx, parts, k, tuple(negs))
                 for w in reversed(weights):
                     scores = scores * w
+            elif conjc is not None and r.deleted is None:
+                clauses, negs, weights = conjc
+                got_c = conj_top_k_compound(r, ctx, clauses, k, tuple(negs))
+                if got_c is None:
+                    # this segment left no single-term clause to anchor on
+                    ev = SegmentEval(r, ctx, reqs, query=query)
+                    docs, scores = ev.eval(query)
+                else:
+                    docs, scores = got_c
+                    for w in reversed(weights):
+                        scores = scores * w
             elif phrase is not None and r.deleted is None:
                 p_field, p_terms, p_gap, weights = phrase
                 docs, scores = phrase_top_k(r, ctx, p_field, p_terms, p_gap, k)

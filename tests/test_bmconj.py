@@ -378,3 +378,90 @@ def test_conj_complete_pass_cached(flat_conj, monkeypatch):
     ed, es = top_k(*ev.eval(q), 3)
     assert d3.tolist() == ed.tolist()
     np.testing.assert_array_equal(s3, es)
+
+
+COMPOUND_QUERIES = [
+    "(deploy OR data)^2 AND query",
+    "(deploy OR data) AND query",
+    "(the OR data) AND query",  # hot-union AND hot
+    "(deploy OR data OR join) AND query AND hash",
+    "(deploy OR nosuchterm) AND data",
+    "(nosucha OR nosuchb) AND data",  # clause matches nothing: empty
+    "(deploy OR data)^2 AND query AND NOT join",
+    "(deploy^3 OR data) AND query",
+    "((deploy OR data))^0.5 AND role:assistant",
+    "(deploy OR data) AND (jump OR test) AND query",
+    "query AND (deploy OR data)",
+    "tool:(bash OR python) AND data",
+]
+
+
+def test_conj_parts_compound_shapes():
+    from lucille_ray.search.bmconj import conj_parts_compound
+
+    got = conj_parts_compound(parse("(deploy OR data)^2 AND query"))
+    assert got is not None
+    clauses, negs, weights = got
+    assert negs == [] and weights == ()
+    assert clauses[0] == (
+        (("text", "deploy", 1.0), ("text", "data", 1.0)), (2.0,)
+    )
+    assert clauses[1] == ((("text", "query", 1.0),), ())
+    # member boosts fold; clause Boost stays a cweight
+    got = conj_parts_compound(parse("(deploy^3 OR data) AND query"))
+    assert got[0][0][0][0] == ("text", "deploy", 3.0)
+    # all-simple conjunctions belong to conj_parts, not here
+    assert conj_parts_compound(parse("a AND b")) is None
+    # no single-term clause to anchor on
+    assert conj_parts_compound(parse("(a OR b) AND (c OR d)")) is None
+    # duplicate term across clauses / inside a clause falls back
+    assert conj_parts_compound(parse("(a OR b) AND a")) is None
+    assert conj_parts_compound(parse("(a OR a) AND b")) is None
+    # non-simple member / nested member boost falls back
+    assert conj_parts_compound(parse('("a b" OR c) AND d')) is None
+    assert conj_parts_compound(parse("((a^2)^3 OR b) AND c")) is None
+    # UnaryPlus changes eval's accumulation order
+    assert conj_parts_compound(parse("(a OR b) AND +c")) is None
+    # non-positive boosts flip bound direction (not parseable; build the AST)
+    from lucille_ray.query import nodes as qn
+
+    neg = qn.And((qn.Boost(qn.Or((qn.Term("a"), qn.Term("b"))), -2.0), qn.Term("c")))
+    assert conj_parts_compound(neg) is None
+
+
+@pytest.mark.parametrize("qs", COMPOUND_QUERIES, ids=repr)
+@pytest.mark.parametrize("k", [3, 10, 50])
+def test_compound_conj_identical_to_eval(built, qs, k):
+    """Compound-clause conj_top_k == plain SegmentEval, ranks AND scores."""
+    from lucille_ray.search.bmconj import conj_parts_compound, conj_top_k_compound
+
+    engine = SearchEngine(built, parallel=False, result_cache=False)
+    q, reqs, ctx = engine.plan(qs)
+    got = conj_parts_compound(q)
+    assert got is not None, f"{qs!r} should be compound-eligible"
+    clauses, negs, weights = got
+    scorer = engine._scorers()[0]
+    for r in scorer.readers:
+        if r.doc_count == 0:
+            continue
+        res = conj_top_k_compound(r, ctx, clauses, k, tuple(negs))
+        assert res is not None  # parse guarantees a single-term anchor clause
+        cd, cs = res
+        for w in reversed(weights):
+            cs = cs * w
+        fresh = SegmentEval(r, ctx, collect_term_requests(q), query=q)
+        ed, es = fresh.eval(q)
+        ed, es = top_k(ed, es, k)
+        assert cd.tolist() == ed.tolist(), f"{qs!r} k={k}: rank mismatch"
+        np.testing.assert_array_equal(cs, es)
+
+
+def test_compound_conj_engine_toggle_identical(built, monkeypatch):
+    """LR_BMCONJ=0 pins the plain evaluator; answers must be bit-identical."""
+    monkeypatch.setenv("LR_BMCONJ", "0")
+    plain = SearchEngine(built, parallel=False, result_cache=False)
+    base = {qs: plain.search(qs, k=10, with_meta=False) for qs in COMPOUND_QUERIES}
+    monkeypatch.setenv("LR_BMCONJ", "1")
+    fast = SearchEngine(built, parallel=False, result_cache=False)
+    for qs in COMPOUND_QUERIES:
+        assert fast.search(qs, k=10, with_meta=False).equals(base[qs]), qs
