@@ -86,13 +86,28 @@ def match_cache(reader) -> dict:
     return cache
 
 
-def match_cache_put(reader, key, docs: np.ndarray, scores: np.ndarray) -> None:
+def match_cache_pop(reader, key) -> None:
     cache = match_cache(reader)
-    cache[key] = (docs, scores)
-    reader._match_cache_bytes += docs.nbytes + scores.nbytes
+    old = cache.pop(key, None)
+    if old is not None:
+        reader._match_cache_bytes -= _entry_nbytes(old)
+
+
+def _entry_nbytes(val: tuple) -> int:
+    return sum(getattr(x, "nbytes", 0) for x in val)
+
+
+def match_cache_put(reader, key, *val) -> None:
+    """Insert (docs, scores) — or any tuple of arrays/scalars, e.g. the
+    resumable θ-pass prefix state — byte-capped over the array members."""
+    cache = match_cache(reader)
+    old = cache.pop(key, None)
+    if old is not None:
+        reader._match_cache_bytes -= _entry_nbytes(old)
+    cache[key] = val
+    reader._match_cache_bytes += _entry_nbytes(val)
     while reader._match_cache_bytes > MATCH_CACHE_BYTES and len(cache) > 1:
-        od, os_ = cache.pop(next(iter(cache)))
-        reader._match_cache_bytes -= od.nbytes + os_.nbytes
+        reader._match_cache_bytes -= _entry_nbytes(cache.pop(next(iter(cache))))
 
 
 def conj_parts(
@@ -292,12 +307,26 @@ def conj_top_k(
     # ascending-size fetch order for the early-exit intersection
     others_by_size = sorted(others, key=lambda j: sizes[j])
 
-    pool_docs: List[np.ndarray] = []
-    pool_scores: List[np.ndarray] = []
-    pooled = 0
+    # resumable θ-pass prefix (same cache family as the complete-pass match
+    # set): the pool of exact matches in the first `pos` processed blocks is
+    # k-INDEPENDENT and commit-constant — a repeat query recomputes only the
+    # (cached-metadata) bounds and the θ test, and a larger k RESUMES the
+    # sweep where the last one stopped instead of redoing its chunks
+    prefix_key = (tuple(parts), negs, "θ-prefix")
+    state = match_cache(reader).get(prefix_key)
+    if state is not None:
+        pos, chunk, _pd, _ps = state
+        pool_docs = [_pd]
+        pool_scores = [_ps]
+        pooled = int(_pd.size)
+    else:
+        pool_docs: List[np.ndarray] = []
+        pool_scores: List[np.ndarray] = []
+        pooled = 0
+        pos = 0
+        chunk = CONJ_CHUNK0
+    start_pos = pos
     theta = -np.inf
-    pos = 0
-    chunk = CONJ_CHUNK0
     complete = True  # flipped on the θ early-exit below
     while pos < order.size:
         if pooled >= k:
@@ -369,12 +398,17 @@ def conj_top_k(
         docs_all = np.concatenate(pool_docs) if pool_docs else EMPTY[0]
         scores_all = np.concatenate(pool_scores) if pool_scores else EMPTY[1]
         match_cache_put(reader, cache_key, docs_all, scores_all)
+        match_cache_pop(reader, prefix_key)  # superseded by the full set
         if docs_all.size == 0:
             return EMPTY
         return top_k(docs_all, scores_all, k)
     if not pool_docs:
         return EMPTY
-    return top_k(np.concatenate(pool_docs), np.concatenate(pool_scores), k)
+    docs_all = np.concatenate(pool_docs)
+    scores_all = np.concatenate(pool_scores)
+    if pos > start_pos:  # new blocks processed: refresh the resumable prefix
+        match_cache_put(reader, prefix_key, pos, chunk, docs_all, scores_all)
+    return top_k(docs_all, scores_all, k)
 
 
 def conj_parts_compound(
@@ -546,12 +580,22 @@ def conj_top_k_compound(
     order = idx[np.argsort(-conj_ub[idx], kind="stable")]
     others_by_size = sorted(others, key=lambda j: sizes[j])
 
-    pool_docs: List[np.ndarray] = []
-    pool_scores: List[np.ndarray] = []
-    pooled = 0
+    # resumable θ-pass prefix — see conj_top_k (pool is k-independent)
+    prefix_key = (clauses, negs, "θ-prefix")
+    state = match_cache(reader).get(prefix_key)
+    if state is not None:
+        pos, chunk, _pd, _ps = state
+        pool_docs = [_pd]
+        pool_scores = [_ps]
+        pooled = int(_pd.size)
+    else:
+        pool_docs: List[np.ndarray] = []
+        pool_scores: List[np.ndarray] = []
+        pooled = 0
+        pos = 0
+        chunk = CONJ_CHUNK0
+    start_pos = pos
     theta = -np.inf
-    pos = 0
-    chunk = CONJ_CHUNK0
     complete = True
     while pos < order.size:
         if pooled >= k:
@@ -628,9 +672,14 @@ def conj_top_k_compound(
         docs_all = np.concatenate(pool_docs) if pool_docs else EMPTY[0]
         scores_all = np.concatenate(pool_scores) if pool_scores else EMPTY[1]
         match_cache_put(reader, cache_key, docs_all, scores_all)
+        match_cache_pop(reader, prefix_key)  # superseded by the full set
         if docs_all.size == 0:
             return EMPTY
         return top_k(docs_all, scores_all, k)
     if not pool_docs:
         return EMPTY
-    return top_k(np.concatenate(pool_docs), np.concatenate(pool_scores), k)
+    docs_all = np.concatenate(pool_docs)
+    scores_all = np.concatenate(pool_scores)
+    if pos > start_pos:  # new blocks processed: refresh the resumable prefix
+        match_cache_put(reader, prefix_key, pos, chunk, docs_all, scores_all)
+    return top_k(docs_all, scores_all, k)
