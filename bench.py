@@ -166,6 +166,7 @@ def run_bench(num_cpus: int, turns: int, sf_dir: str) -> dict:
     results["engine_spawn_warm_sec"] = round(time.perf_counter() - t0, 3)
     t_stage = time.perf_counter()
     lat = []
+    warm_lat = []  # reps 2-3 only: steady-state, first-decode costs excluded
     per_query = {}
     for rep in range(3):
         for qs in QUERY_SET:
@@ -173,12 +174,18 @@ def run_bench(num_cpus: int, turns: int, sf_dir: str) -> dict:
             engine.search(qs, k=10, with_meta=False)
             dt = time.perf_counter() - t0
             lat.append(dt)
+            if rep > 0:
+                warm_lat.append(dt)
             key = f"q_{QUERY_SET.index(qs)}"
             per_query[key] = min(per_query.get(key, dt), dt)
     lat.sort()
     results["query_p50_sec"] = round(lat[len(lat) // 2], 4)
     results["query_p95_sec"] = round(lat[int(len(lat) * 0.95)], 4)
     results["query_qps"] = round(len(lat) / sum(lat), 1)
+    # supplemental, from the SAME measurements (query_qps keeps its
+    # definition for cross-round comparability): rep-1 carries each query's
+    # first-ever decodes, so the steady-state number is reported separately
+    results["query_qps_warm"] = round(len(warm_lat) / sum(warm_lat), 1)
     results["latency_stage_sec"] = round(time.perf_counter() - t_stage, 3)
     # batched + replicated serving throughput, measured INTERLEAVED (one
     # batch pass, one replicated pass, repeat) so slow box drift hits both
